@@ -1,0 +1,214 @@
+"""Fixed-shape periodic-boundary geometry kernels.
+
+TPU-native replacement for the reference's dynamic-shape PBC machinery:
+
+- ``radius_graph_pbc`` (ref: adsorbdiff/utils/utils.py:556-730 +
+  ``get_max_neighbors_mask`` :733-853): instead of variable-length edge lists
+  built with masked_select + torch_scatter, we emit a *fixed* ``[N, K]``
+  neighbor table per system (K = max_neighbors), selecting the K nearest
+  in-radius periodic images per target atom with ``lax.top_k``.  Every
+  train/sample/relax step therefore compiles once and runs with static shapes.
+- ``get_pbc_distances`` (ref: utils.py:513-553) is folded into the neighbor
+  table: we return displacement vectors and distances directly.
+- the torus wrap "double-mod fractional trick" used by the noise schedule and
+  sampler (ref: adsorbdiff/trainers/sde_denoising_trainer.py:45-64,
+  relaxation/diffusers/denoising_torch.py:296-310) as ``frac_wrap_center`` /
+  ``wrap_positions``.
+- ``min_image_diff`` — minimum-image displacement for DwT metrics
+  (ref: adsorbdiff/modules/evaluator.py:266-283, scripts/eval.py:765-777).
+
+Design notes / deliberate divergences (documented per SURVEY.md §7):
+
+- Neighbor cap semantics: the reference keeps the K nearest neighbors *plus*
+  ties within a 0.01 Å² degeneracy tolerance, which yields data-dependent edge
+  counts (ref: utils.py:809-837).  We use the strict top-K (the reference's
+  ``enforce_max_neighbors_strictly=True`` path) so shapes stay static; pass a
+  larger ``max_neighbors`` to recover the degenerate edges.
+- Edge symmetrization (ref: models/painn/painn_denoising.py:184-351) is not
+  replicated: it exists only because the reference's asymmetric cap loses
+  counter-edges.  Our builder caps per *target* atom deterministically; the
+  message-passing models consume the ``[N, K]`` table directly.
+
+Cell convention: rows of ``cell`` are the lattice vectors (a1, a2, a3), same
+as the reference / ASE (cartesian = fractional @ cell).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NeighborList(NamedTuple):
+    """Fixed-shape PBC neighbor table for one system (or batch-leading).
+
+    For target atom ``i`` and slot ``k``: the source atom is ``src[i, k]``,
+    displaced by integer cell offset ``cell_offsets[i, k]``; the displacement
+    ``vec[i, k] = pos[src] + offsets @ cell - pos[i]`` points from the target
+    to the (periodic image of the) source, matching the reference convention
+    (ref: utils.py:513-553, painn_denoising.py:363-368).
+    """
+
+    src: jnp.ndarray  # [*, N, K] int32
+    cell_offsets: jnp.ndarray  # [*, N, K, 3] int32
+    vec: jnp.ndarray  # [*, N, K, 3] float
+    dist: jnp.ndarray  # [*, N, K] float
+    mask: jnp.ndarray  # [*, N, K] bool
+
+
+def compute_cell_reps(cell: np.ndarray, radius: float, pbc: Sequence[bool] = (True, True, True)) -> Tuple[int, int, int]:
+    """Host-side: per-axis unit-cell replication counts for a radius cutoff.
+
+    Same reciprocal-vector geometry as the reference (ref: utils.py:627-662):
+    the plane spacing along a1 is 1/||(a2 x a3)/V||, so ceil(radius / spacing)
+    images are needed.  Call with the max cell over a bucket/dataset and treat
+    the result as a static compile-time constant.
+    """
+    cell = np.asarray(cell, dtype=np.float64)
+    if cell.ndim == 3:
+        return tuple(  # type: ignore[return-value]
+            int(max(compute_cell_reps(c, radius, pbc)[i] for c in cell)) for i in range(3)
+        )
+    cross = [
+        np.cross(cell[1], cell[2]),
+        np.cross(cell[2], cell[0]),
+        np.cross(cell[0], cell[1]),
+    ]
+    vol = abs(float(np.dot(cell[0], cross[0])))
+    reps = []
+    for axis in range(3):
+        if pbc[axis]:
+            inv_min_dist = float(np.linalg.norm(cross[axis] / vol))
+            reps.append(int(np.ceil(radius * inv_min_dist)))
+        else:
+            reps.append(0)
+    return tuple(reps)  # type: ignore[return-value]
+
+
+def _offset_grid(reps: Tuple[int, int, int]) -> np.ndarray:
+    """Integer offset lattice [-r, r]^3 -> [C, 3] (ref: utils.py:664-669)."""
+    axes = [np.arange(-r, r + 1, dtype=np.int32) for r in reps]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    # Put the home cell (0,0,0) first so self-image masking is cheap to reason about.
+    home = np.all(grid == 0, axis=1)
+    return np.concatenate([grid[home], grid[~home]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors", "reps", "radius"))
+def radius_graph_pbc(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> NeighborList:
+    """Fixed-shape PBC radius graph for one padded system.
+
+    Args:
+      pos: [N, 3] cartesian positions (padded rows arbitrary).
+      cell: [3, 3] lattice vectors as rows.
+      atom_mask: [N] bool, True for real atoms.
+      radius: cutoff (Å). Static.
+      max_neighbors: K, static neighbor cap per target atom.
+      reps: static per-axis image counts (from :func:`compute_cell_reps`).
+
+    Returns a :class:`NeighborList`. vmap over the leading batch axis for
+    batched graphs.
+    """
+    n = pos.shape[0]
+    k = max_neighbors
+    offsets_int = jnp.asarray(_offset_grid(reps))  # [C, 3]
+    c = offsets_int.shape[0]
+    offsets_cart = offsets_int.astype(pos.dtype) @ cell  # [C, 3]
+
+    # Candidate displacement for (target i, source j, image c):
+    #   pos[j] + off[c] - pos[i]
+    src_img = pos[None, :, None, :] + offsets_cart[None, None, :, :]  # [1, N, C, 3]
+    diff = src_img - pos[:, None, None, :]  # [N, N, C, 3]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [N, N, C]
+
+    valid = atom_mask[:, None, None] & atom_mask[None, :, None]
+    # Reference removes pairs with d^2 <= 1e-4 (self images and coincident
+    # atoms, ref: utils.py:700-702) and pairs beyond the radius.
+    valid &= d2 > 1.0e-4
+    valid &= d2 <= radius * radius
+
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2_flat = jnp.where(valid, d2, big).reshape(n, n * c)
+
+    # K nearest periodic images per target atom (strict cap; see module doc).
+    neg_top, flat_idx = jax.lax.top_k(-d2_flat, k)  # [N, K]
+    src = (flat_idx // c).astype(jnp.int32)
+    img = flat_idx % c
+    mask = (-neg_top) < big  # only in-radius, valid candidates survive
+
+    cell_offsets = offsets_int[img]  # [N, K, 3]
+    vec = pos[src] + cell_offsets.astype(pos.dtype) @ cell - pos[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    # Neutralize padded slots (src=0 gathers are harmless but keep vec finite).
+    vec = jnp.where(mask[..., None], vec, 0.0)
+    dist = jnp.where(mask, dist, 0.0)
+    src = jnp.where(mask, src, 0)
+    return NeighborList(src=src, cell_offsets=cell_offsets, vec=vec, dist=dist, mask=mask)
+
+
+def radius_graph_pbc_batched(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> NeighborList:
+    """vmapped :func:`radius_graph_pbc` over a leading system axis."""
+    fn = functools.partial(radius_graph_pbc, radius=radius, max_neighbors=max_neighbors, reps=reps)
+    return jax.vmap(fn)(pos, cell, atom_mask)
+
+
+def frac_wrap_center(vec: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
+    """Wrap displacement vectors into the centered unit cell (frac in (-0.5, 0.5]).
+
+    The reference's ``pbc_correction`` double-mod trick
+    (ref: sde_denoising_trainer.py:45-64): solve to fractional coords, mod into
+    [0, 1), shift >0.5 down by 1, return to cartesian.
+
+    vec: [..., 3]; cell: [..., 3, 3] broadcastable (rows = lattice vectors).
+    """
+    # fractional f solves f @ cell = vec  <=>  cell^T f^T = vec^T
+    frac = jnp.linalg.solve(jnp.swapaxes(cell, -1, -2), vec[..., None])[..., 0]
+    frac = jnp.mod(jnp.mod(frac, 1.0), 1.0)
+    frac = jnp.where(frac > 0.5, frac - 1.0, frac)
+    return jnp.einsum("...i,...ij->...j", frac, cell)
+
+
+def wrap_positions(pos: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
+    """Wrap absolute positions into the home cell (frac in [0, 1)).
+
+    Used for the sampler's per-step COM wrap (ref: denoising_torch.py:296-310).
+    Note a reference inconsistency we deliberately do NOT replicate: the
+    trainer's ``pbc_correction`` wraps in the ROW lattice
+    (``solve(cell.t(), v.t())``, ref: sde_denoising_trainer.py:54-58) while the
+    sampler wraps in the COLUMN lattice (``solve(cell, p)`` then
+    ``f @ cell.T``, ref: denoising_torch.py:298-307).  The slab's physical
+    periodicity is the row lattice (ASE convention, matching
+    ``radius_graph_pbc``'s offsets), so we use rows everywhere:
+    solve ``frac @ cell = pos``, wrap frac into [0, 1), return to cartesian.
+    """
+    frac = jnp.linalg.solve(jnp.swapaxes(cell, -1, -2), pos[..., None])[..., 0]
+    frac = jnp.mod(jnp.mod(frac, 1.0), 1.0)
+    return jnp.einsum("...i,...ij->...j", frac, cell)
+
+
+def min_image_diff(pos_pred: jnp.ndarray, pos_target: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-image displacement between predicted and target positions.
+
+    Reference ``min_diff`` (ref: modules/evaluator.py:266-283): fractional
+    difference wrapped to (-0.5, 0.5] per axis, then back to cartesian.
+    """
+    return frac_wrap_center(pos_pred - pos_target, cell)

@@ -1,0 +1,158 @@
+"""PBC radius graph vs a brute-force numpy reference (SURVEY.md §4/§7)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.ops.pbc import (
+    compute_cell_reps,
+    frac_wrap_center,
+    min_image_diff,
+    radius_graph_pbc,
+    radius_graph_pbc_batched,
+    wrap_positions,
+)
+
+
+def brute_force_edges(pos, cell, reps, radius):
+    """All (target, source, offset) edges with 1e-4 < d^2 <= r^2, reference
+    semantics (ref: adsorbdiff/utils/utils.py:694-709)."""
+    edges = {}
+    n = len(pos)
+    offs = [
+        (i, j, k)
+        for i in range(-reps[0], reps[0] + 1)
+        for j in range(-reps[1], reps[1] + 1)
+        for k in range(-reps[2], reps[2] + 1)
+    ]
+    for tgt in range(n):
+        for src in range(n):
+            for off in offs:
+                d = pos[src].astype(np.float64) + np.asarray(off, dtype=np.float64) @ cell.astype(np.float64) - pos[tgt]
+                d2 = float(np.dot(d, d))
+                if 1e-4 < d2 <= radius * radius:
+                    edges[(tgt, src, off)] = np.sqrt(d2)
+    return edges
+
+
+def make_system(rng, n=12):
+    cell = np.diag([6.0, 7.0, 20.0]) + rng.normal(0, 0.2, (3, 3)) * np.tri(3, 3, -1)
+    frac = rng.random((n, 3)) * [1, 1, 0.4]
+    pos = frac @ cell
+    return pos.astype(np.float32), cell.astype(np.float32)
+
+
+def test_radius_graph_matches_bruteforce(rng):
+    pos, cell = make_system(rng)
+    radius = 5.0
+    reps = compute_cell_reps(cell, radius)
+    nl = radius_graph_pbc(
+        jnp.asarray(pos), jnp.asarray(cell), jnp.ones(len(pos), bool),
+        radius=radius, max_neighbors=64, reps=reps,
+    )
+    got = {}
+    mask_np, src_np, off_np, dist_np = (np.asarray(a) for a in (nl.mask, nl.src, nl.cell_offsets, nl.dist))
+    for i in range(len(pos)):
+        for k in range(src_np.shape[1]):
+            if mask_np[i, k]:
+                got[(i, int(src_np[i, k]), tuple(int(x) for x in off_np[i, k]))] = float(dist_np[i, k])
+    want = brute_force_edges(pos, cell, reps, radius)
+    # max_neighbors=64 is above the true degree here, so edge sets must match
+    # exactly up to f32-vs-f64 boundary jitter right at the radius cutoff
+    boundary = {k for k, d in want.items() if abs(d - radius) < 1e-3} | {
+        k for k, d in got.items() if abs(d - radius) < 1e-3
+    }
+    assert set(got) - boundary == set(want) - boundary
+    for key in set(got) & set(want):
+        assert abs(got[key] - want[key]) < 2e-3
+
+
+def test_radius_graph_cap_keeps_nearest(rng):
+    pos, cell = make_system(rng, n=16)
+    radius, k = 6.0, 4
+    reps = compute_cell_reps(cell, radius)
+    nl = radius_graph_pbc(
+        jnp.asarray(pos), jnp.asarray(cell), jnp.ones(len(pos), bool),
+        radius=radius, max_neighbors=k, reps=reps,
+    )
+    want = brute_force_edges(pos, cell, reps, radius)
+    for i in range(len(pos)):
+        dists_i = sorted(d for (t, s, o), d in want.items() if t == i)
+        got_i = sorted(float(d) for d, m in zip(np.asarray(nl.dist[i]), np.asarray(nl.mask[i])) if m)
+        assert len(got_i) == min(k, len(dists_i))
+        np.testing.assert_allclose(got_i, dists_i[: len(got_i)], atol=2e-4)
+
+
+def test_radius_graph_padding_excluded(rng):
+    pos, cell = make_system(rng, n=8)
+    pos_pad = np.concatenate([pos, np.zeros((4, 3), np.float32)])
+    mask = np.array([True] * 8 + [False] * 4)
+    reps = compute_cell_reps(cell, 5.0)
+    nl = radius_graph_pbc(
+        jnp.asarray(pos_pad), jnp.asarray(cell), jnp.asarray(mask),
+        radius=5.0, max_neighbors=32, reps=reps,
+    )
+    nl_mask = np.asarray(nl.mask)
+    src = np.asarray(nl.src)
+    assert not nl_mask[8:].any()  # padded targets have no edges
+    assert (src[nl_mask] < 8).all()  # no edges point at padded atoms
+
+
+def test_radius_graph_vec_consistency(rng):
+    pos, cell = make_system(rng)
+    reps = compute_cell_reps(cell, 5.0)
+    nl = radius_graph_pbc(
+        jnp.asarray(pos), jnp.asarray(cell), jnp.ones(len(pos), bool),
+        radius=5.0, max_neighbors=32, reps=reps,
+    )
+    d = np.linalg.norm(np.asarray(nl.vec), axis=-1)
+    np.testing.assert_allclose(d[np.asarray(nl.mask)], np.asarray(nl.dist)[np.asarray(nl.mask)], rtol=1e-5, atol=1e-5)
+
+
+def test_radius_graph_batched(rng):
+    pos1, cell1 = make_system(rng)
+    pos2, cell2 = make_system(rng)
+    reps = compute_cell_reps(np.stack([cell1, cell2]), 5.0)
+    nl = radius_graph_pbc_batched(
+        jnp.stack([jnp.asarray(pos1), jnp.asarray(pos2)]),
+        jnp.stack([jnp.asarray(cell1), jnp.asarray(cell2)]),
+        jnp.ones((2, len(pos1)), bool),
+        radius=5.0, max_neighbors=16, reps=reps,
+    )
+    single = radius_graph_pbc(
+        jnp.asarray(pos2), jnp.asarray(cell2), jnp.ones(len(pos2), bool),
+        radius=5.0, max_neighbors=16, reps=reps,
+    )
+    np.testing.assert_array_equal(np.asarray(nl.src[1]), np.asarray(single.src))
+    np.testing.assert_allclose(np.asarray(nl.dist[1]), np.asarray(single.dist), atol=1e-6)
+
+
+def test_frac_wrap_center_range(rng):
+    cell = jnp.asarray(np.diag([5.0, 6.0, 30.0]).astype(np.float32))
+    vec = jnp.asarray(rng.normal(0, 10, (32, 3)).astype(np.float32))
+    w = frac_wrap_center(vec, cell)
+    frac = np.asarray(w) @ np.linalg.inv(np.asarray(cell))
+    assert (frac > -0.5 - 1e-5).all() and (frac <= 0.5 + 1e-5).all()
+    # wrapping is idempotent
+    np.testing.assert_allclose(np.asarray(frac_wrap_center(w, cell)), np.asarray(w), atol=1e-5)
+
+
+def test_wrap_positions_lattice_invariant(rng):
+    cell_np = (np.diag([5.0, 6.0, 30.0]) + rng.normal(0, 0.3, (3, 3)) * np.tri(3, 3, -1)).astype(np.float32)
+    cell = jnp.asarray(cell_np)
+    pos = jnp.asarray(rng.normal(0, 8, (16, 3)).astype(np.float32))
+    w = wrap_positions(pos, cell)
+    # difference must be an integer lattice combination (rows)
+    frac_diff = (np.asarray(pos) - np.asarray(w)) @ np.linalg.inv(cell_np)
+    np.testing.assert_allclose(frac_diff, np.round(frac_diff), atol=1e-4)
+    frac = np.asarray(w) @ np.linalg.inv(cell_np)
+    assert (frac >= -1e-5).all() and (frac < 1 + 1e-5).all()
+
+
+def test_min_image_diff_small(rng):
+    cell = jnp.asarray(np.diag([5.0, 5.0, 20.0]).astype(np.float32))
+    target = jnp.asarray(rng.random((8, 3)).astype(np.float32) * 4)
+    shift = jnp.asarray(np.array([5.0, -10.0, 0.0], np.float32))
+    pred = target + shift + 0.01
+    d = min_image_diff(pred, target, cell)
+    np.testing.assert_allclose(np.asarray(d), 0.01 * np.ones((8, 3)), atol=1e-4)
