@@ -1,0 +1,99 @@
+"""Atom-count bucketing batcher.
+
+TPU-native replacement for the reference ``BalancedBatchSampler``
+(ref: adsorbdiff/datasets/data_parallel.py:58-200).  The reference all_gathers
+(index, natoms) pairs across ranks every step and greedily re-partitions the
+batch so DDP replicas get equal work.  With a single-controller JAX mesh the
+host packs the *global* batch, so balancing collapses into a host-side
+packing problem:
+
+- systems are bucketed by padded atom count (sizes rounded up to the next
+  bucket edge), so each jitted step sees one of a few static ``[B, N]`` shapes
+  and padding waste is bounded;
+- within a bucket, batches are drawn shuffled per epoch (seeded), and the
+  device axis receives ``B = batch_size_per_device * num_devices`` systems —
+  equal per-device system counts by construction.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from adsorbdiff_tpu.data.schema import AtomsBatch, collate
+
+
+def default_bucket_edges(natoms: np.ndarray, num_buckets: int = 4) -> List[int]:
+    """Quantile bucket edges (each rounded up to a multiple of 8 for TPU lanes)."""
+    if len(natoms) == 0:
+        return [8]
+    qs = np.quantile(natoms, np.linspace(1.0 / num_buckets, 1.0, num_buckets))
+    edges = sorted({int(-(-int(q) // 8) * 8) for q in qs})
+    if edges[-1] < int(natoms.max()):
+        edges[-1] = int(-(-int(natoms.max()) // 8) * 8)
+    return edges
+
+
+class BucketedBatcher:
+    """Iterates padded :class:`AtomsBatch` objects with bucket-static shapes."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        bucket_edges: Optional[Sequence[int]] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        with_forces: bool = False,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.with_forces = with_forces
+        natoms = np.asarray(dataset.natoms_array())
+        self.bucket_edges = list(bucket_edges) if bucket_edges is not None else default_bucket_edges(natoms)
+        self._bucket_of = np.searchsorted(self.bucket_edges, natoms)
+        if (self._bucket_of >= len(self.bucket_edges)).any():
+            raise ValueError(
+                f"system with {natoms.max()} atoms exceeds largest bucket edge {self.bucket_edges[-1]}"
+            )
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling per epoch (ref: base_trainer train_sampler.set_epoch)."""
+        self._epoch = int(epoch)
+
+    def _plan(self) -> List[Tuple[int, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, self._epoch))
+        plan: List[Tuple[int, np.ndarray]] = []
+        for b, edge in enumerate(self.bucket_edges):
+            idx = np.nonzero(self._bucket_of == b)[0]
+            if len(idx) == 0:
+                continue
+            if self.shuffle:
+                rng.shuffle(idx)
+            for lo in range(0, len(idx), self.batch_size):
+                chunk = idx[lo : lo + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    continue
+                plan.append((edge, chunk))
+        if self.shuffle:
+            rng.shuffle(plan)  # interleave buckets
+        return plan
+
+    def __len__(self) -> int:
+        return len(self._plan())
+
+    def __iter__(self) -> Iterator[AtomsBatch]:
+        for edge, chunk in self._plan():
+            systems = [self.dataset[int(i)] for i in chunk]
+            # Repeat the tail system so the batch axis stays static; repeats
+            # carry the same sid and are deduped at result-gather time, the
+            # same contract as the reference's DistributedSampler padding
+            # (ref: trainers/base_trainer.py:869-878).
+            while len(systems) < self.batch_size:
+                systems.append(systems[-1])
+            yield collate(systems, max_atoms=edge, with_forces=self.with_forces)

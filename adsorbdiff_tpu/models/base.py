@@ -1,0 +1,43 @@
+"""Model base helpers: on-the-fly graph generation for padded batches.
+
+Replaces ``BaseModel.generate_graph`` (ref: adsorbdiff/models/base.py:33-123).
+Graphs are always built on-device inside the jitted step (the reference calls
+this ``otf_graph``; stored-edge batches don't exist in the padded schema).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from adsorbdiff_tpu.data.schema import AtomsBatch
+from adsorbdiff_tpu.ops.pbc import NeighborList, radius_graph_pbc_batched
+
+
+def generate_graph(
+    batch: AtomsBatch,
+    *,
+    cutoff: float,
+    max_neighbors: int,
+    cell_reps: Tuple[int, int, int],
+) -> Tuple[NeighborList, jnp.ndarray, jnp.ndarray]:
+    """Build the PBC neighbor table plus unit edge vectors.
+
+    Returns ``(nl, edge_dist, edge_unit)`` where ``edge_unit[b, i, k]`` points
+    from target atom i to (the periodic image of) source ``nl.src[b, i, k]``
+    — the reference's ``edge_vector`` convention
+    (ref: models/painn/painn_denoising.py:363-368, with the same 1e-3
+    zero-distance clamp).
+    """
+    nl = radius_graph_pbc_batched(
+        batch.pos,
+        batch.cell,
+        batch.atom_mask,
+        radius=cutoff,
+        max_neighbors=max_neighbors,
+        reps=cell_reps,
+    )
+    dist = jnp.where(nl.dist < 1e-3, 1e-3, nl.dist)
+    unit = nl.vec / dist[..., None]
+    unit = jnp.where(nl.mask[..., None], unit, 0.0)
+    return nl, dist, unit

@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.data.buckets import BucketedBatcher, default_bucket_edges
+from adsorbdiff_tpu.data.schema import System, collate, uncollate
+from adsorbdiff_tpu.data.store import ShardDataset, write_shard
+
+
+def rand_system(rng, n, sid=0, fid=0):
+    cell = np.diag(rng.uniform(6, 12, 3)).astype(np.float32)
+    return System(
+        pos=rng.random((n, 3)).astype(np.float32) @ cell,
+        atomic_numbers=rng.integers(1, 80, n),
+        tags=rng.integers(0, 3, n),
+        fixed=rng.integers(0, 2, n).astype(bool),
+        cell=cell,
+        sid=sid,
+        fid=fid,
+        energy=float(rng.normal()),
+        y_relaxed=float(rng.normal()),
+        forces=rng.normal(0, 1, (n, 3)).astype(np.float32),
+    )
+
+
+def test_collate_uncollate_roundtrip(rng):
+    systems = [rand_system(rng, n, sid=i) for i, n in enumerate([5, 9, 7])]
+    batch = collate(systems, with_forces=True)
+    assert batch.pos.shape == (3, 9, 3)
+    assert int(batch.natoms[1]) == 9
+    back = uncollate(batch)
+    for a, b in zip(systems, back):
+        np.testing.assert_allclose(a.pos, b.pos, atol=1e-6)
+        np.testing.assert_array_equal(a.atomic_numbers, b.atomic_numbers)
+        np.testing.assert_array_equal(a.fixed, b.fixed)
+        np.testing.assert_allclose(a.forces, b.forces, atol=1e-6)
+        assert a.sid == b.sid and abs(a.energy - b.energy) < 1e-6
+
+
+def test_masks(rng):
+    systems = [rand_system(rng, 4), rand_system(rng, 6)]
+    batch = collate(systems)
+    mask = np.asarray(batch.atom_mask)
+    assert mask.sum() == 10
+    ads = np.asarray(batch.ads_mask)
+    assert (ads <= mask).all()
+
+
+def test_shard_roundtrip(tmp_path, rng):
+    systems = [rand_system(rng, int(n), sid=i, fid=i * 2) for i, n in enumerate(rng.integers(4, 30, 17))]
+    write_shard(str(tmp_path / "train_0"), systems[:10])
+    write_shard(str(tmp_path / "train_1"), systems[10:])
+    ds = ShardDataset({"src": str(tmp_path)})
+    assert len(ds) == 17
+    np.testing.assert_array_equal(ds.natoms_array(), [s.natoms for s in systems])
+    for i in [0, 9, 10, 16]:
+        got = ds[i]
+        np.testing.assert_allclose(got.pos, systems[i].pos, atol=1e-6)
+        np.testing.assert_allclose(got.forces, systems[i].forces, atol=1e-6)
+        assert got.sid == systems[i].sid and got.fid == systems[i].fid
+    # single-file + manual sharding (ref: lmdb_dataset.py:106-116)
+    half = ShardDataset({"src": str(tmp_path / "train_0"), "shard": 1, "total_shards": 2})
+    assert len(half) == 5
+    np.testing.assert_allclose(half[0].pos, systems[5].pos, atol=1e-6)
+
+
+def test_bucketed_batcher(tmp_path, rng):
+    systems = [rand_system(rng, int(n), sid=i) for i, n in enumerate(rng.integers(4, 60, 40))]
+    write_shard(str(tmp_path / "d"), systems)
+    ds = ShardDataset({"src": str(tmp_path / "d")})  # suffix auto-appended
+    batcher = BucketedBatcher(ds, batch_size=4, seed=0)
+    seen = set()
+    shapes = set()
+    for batch in batcher:
+        b, n, _ = batch.pos.shape
+        assert b == 4
+        assert n in batcher.bucket_edges
+        assert int(np.asarray(batch.natoms).max()) <= n
+        shapes.add(n)
+        seen.update(int(s) for s in np.asarray(batch.sid))
+    assert seen == set(range(40))  # every system appears
+    assert len(shapes) <= len(batcher.bucket_edges)
+    # deterministic given (seed, epoch), different across epochs
+    plan0 = [tuple(c.tolist()) for _, c in batcher._plan()]
+    batcher.set_epoch(1)
+    plan1 = [tuple(c.tolist()) for _, c in batcher._plan()]
+    assert plan0 != plan1
+
+
+def test_bucket_edges_multiple_of_8():
+    edges = default_bucket_edges(np.array([3, 10, 50, 200]))
+    assert all(e % 8 == 0 for e in edges)
+    assert edges[-1] >= 200
