@@ -136,7 +136,12 @@ class GatedEquivariantBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        vec1 = jnp.linalg.norm(nn.Dense(self.hidden_channels, use_bias=False)(v), axis=-2)
+        # eps-safe norm: padded atoms carry exactly-zero vec features, and the
+        # gradient of a raw norm at 0 is NaN — it would poison the whole batch
+        # through the backward pass even though outputs are masked (the
+        # reference uses torch.norm here but never has zero vectors)
+        v1 = nn.Dense(self.hidden_channels, use_bias=False)(v)
+        vec1 = jnp.sqrt(jnp.sum(v1 * v1, axis=-2) + 1e-8)
         vec2 = nn.Dense(self.out_channels, use_bias=False)(v)  # [B, N, 3, out]
 
         xv = jnp.concatenate([x, vec1], axis=-1)
