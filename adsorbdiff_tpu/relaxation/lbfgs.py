@@ -1,0 +1,208 @@
+"""Batched L-BFGS relaxation — the MLFF relaxer, as one jitted scan.
+
+Rebuild of the reference torch L-BFGS (ref: adsorbdiff/relaxation/optimizers/
+lbfgs_torch.py:22-240).  The reference keeps a Python deque of history vectors
+over the *flattened whole batch*, runs the two-loop recursion in Python, and
+does one model forward + ASE traj write per step.  Here:
+
+- history is a fixed ``[memory, D]`` ring buffer (D = B*N*3) carried through a
+  ``lax.scan``; the two-loop recursion is a ``fori_loop`` over the ring with
+  validity masks for unfilled slots — same math, static shapes;
+- per-system convergence masks freeze finished systems
+  (ref ``update_mask``/``check_convergence`` :74-90) instead of breaking the
+  loop; the whole relaxation is ONE device dispatch;
+- per-system maxstep clamping via masked max over atoms (ref
+  ``determine_step`` :151-162), damping, and the same H0 = 1/alpha scaling;
+- fixed-atom force zeroing is the calculator's job (ref ``TorchCalc
+  .get_energy_and_forces`` :220-229 — see :func:`make_mlff_energy_forces`).
+
+The reference's CUDA-OOM batch-bisection retry (ref: relaxation/
+ml_relaxation.py:49-92) has no analogue: shapes are static and sized by the
+bucketing batcher, so memory use is known at compile time.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adsorbdiff_tpu.data.schema import AtomsBatch
+from adsorbdiff_tpu.ops.segment import masked_max
+
+EnergyForcesFn = Callable[[AtomsBatch], Tuple[jnp.ndarray, jnp.ndarray]]
+# fn(batch) -> (energy [B], forces [B, N, 3]) with fixed-atom forces zeroed
+
+
+class LBFGSResult(NamedTuple):
+    batch: AtomsBatch  # final positions
+    energy: jnp.ndarray  # [B] final energy
+    forces: jnp.ndarray  # [B, N, 3] final forces (no constraint applied, ref :140-143)
+    traj_pos: jnp.ndarray  # [T, B, N, 3]
+    traj_energy: jnp.ndarray  # [T, B]
+    traj_forces: jnp.ndarray  # [T, B, N, 3]
+    nsteps: jnp.ndarray  # [] int32 — steps before batch-wide convergence (freeze point)
+    converged: jnp.ndarray  # [B] bool — per-system fmax reached
+
+
+def lbfgs_relax(
+    energy_forces_fn: EnergyForcesFn,
+    batch: AtomsBatch,
+    *,
+    steps: int = 300,
+    fmax: float = 0.01,
+    maxstep: float = 0.04,
+    memory: int = 50,
+    damping: float = 1.0,
+    alpha: float = 70.0,
+    energy_forces_fn_final: Optional[EnergyForcesFn] = None,
+) -> LBFGSResult:
+    """Run batched L-BFGS (defaults = the published relaxation config,
+    ref: configs/denoising/painn_so3.yml:18-27)."""
+    b, n, _ = batch.pos.shape
+    d = b * n * 3
+    h0 = 1.0 / float(alpha)
+    atom3 = batch.atom_mask[..., None]
+
+    def flat(x):
+        return x.reshape(d)
+
+    def ef(pos):
+        e, f = energy_forces_fn(batch.replace(pos=pos))
+        f = jnp.where(atom3, f, 0.0)
+        return e, f
+
+    class Carry(NamedTuple):
+        pos: jnp.ndarray  # [B, N, 3]
+        r0: jnp.ndarray  # [D]
+        f0: jnp.ndarray  # [D]
+        s_buf: jnp.ndarray  # [M, D]
+        y_buf: jnp.ndarray  # [M, D]
+        rho_buf: jnp.ndarray  # [M]
+        frozen_at: jnp.ndarray  # [] int32 (steps if never converged)
+
+    def two_loop(q, s_buf, y_buf, rho_buf, n_hist):
+        """Standard two-loop recursion over the ring buffer (ref :179-193).
+
+        History entries are stored at slots [0, n_hist) in insertion order
+        (we shift the buffers rather than rotating indices: memory is small).
+        """
+        m = s_buf.shape[0]
+
+        def bwd(j, qa):
+            q, alpha_vec = qa
+            i = n_hist - 1 - j  # newest -> oldest
+            valid = i >= 0
+            i_safe = jnp.maximum(i, 0)
+            a_i = rho_buf[i_safe] * jnp.dot(s_buf[i_safe], q)
+            a_i = jnp.where(valid, a_i, 0.0)
+            q = q - a_i * y_buf[i_safe] * valid
+            return q, alpha_vec.at[i_safe].set(jnp.where(valid, a_i, alpha_vec[i_safe]))
+
+        q, alpha_vec = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros(m, q.dtype)))
+        z = h0 * q
+
+        def fwd(i, z):
+            valid = i < n_hist
+            beta = rho_buf[i] * jnp.dot(y_buf[i], z)
+            upd = s_buf[i] * (alpha_vec[i] - beta)
+            return z + jnp.where(valid, upd, 0.0)
+
+        return jax.lax.fori_loop(0, m, fwd, z)
+
+    def step(carry: Carry, it: jnp.ndarray):
+        energy, forces = ef(carry.pos)
+
+        # per-system max force over real atoms (ref check_convergence :74-90)
+        fnorm = jnp.linalg.norm(forces, axis=-1)  # [B, N]
+        max_f = masked_max(fnorm, batch.atom_mask, axis=1)  # [B]
+        update_sys = max_f >= fmax  # True = keep moving
+        all_converged = jnp.logical_not(jnp.any(update_sys))
+        frozen_at = jnp.where(
+            all_converged & (carry.frozen_at >= steps), it, carry.frozen_at
+        )
+        active = jnp.logical_not(all_converged) & (carry.frozen_at >= steps)
+
+        r = flat(carry.pos)
+        f = flat(forces)
+
+        # push (s, y, rho) once history exists (ref :170-177); never push
+        # after the batch froze (a zero step would make rho = 1/0)
+        s0 = r - carry.r0
+        y0 = -(f - carry.f0)
+        rho0 = 1.0 / jnp.dot(y0, s0)
+        has_hist = (it > 0) & active
+        s_buf = jnp.where(has_hist, jnp.roll(carry.s_buf, -1, axis=0).at[-1].set(s0), carry.s_buf)
+        y_buf = jnp.where(has_hist, jnp.roll(carry.y_buf, -1, axis=0).at[-1].set(y0), carry.y_buf)
+        rho_buf = jnp.where(has_hist, jnp.roll(carry.rho_buf, -1).at[-1].set(rho0), carry.rho_buf)
+        n_hist = jnp.minimum(it, memory).astype(jnp.int32)
+
+        q = -f
+        z = two_loop(q, s_buf, y_buf, rho_buf, n_hist)
+        p = (-z).reshape(b, n, 3)
+
+        # per-system maxstep clamp (ref determine_step :151-162)
+        steplen = jnp.linalg.norm(p, axis=-1)  # [B, N]
+        longest = masked_max(steplen, batch.atom_mask, axis=1)  # [B]
+        scale = jnp.minimum(longest, maxstep) / (longest + 1e-7)
+        dr = p * scale[:, None, None] * damping
+
+        # freeze converged systems (ref set_positions update_mask :66-69) and
+        # the whole batch once it has fully converged
+        move = (update_sys[:, None, None] & atom3) & active
+        tiny = jnp.max(jnp.abs(dr)) < 1e-7  # ref :195-197
+        new_pos = jnp.where(move & jnp.logical_not(tiny), carry.pos + dr, carry.pos)
+
+        # the reference's "same configuration" early return (:195-197) skips
+        # both the position update and the r0/f0 refresh
+        keep = active & jnp.logical_not(tiny)
+        new_carry = Carry(
+            pos=new_pos,
+            r0=jnp.where(keep, r, carry.r0),
+            f0=jnp.where(keep, f, carry.f0),
+            s_buf=s_buf,
+            y_buf=y_buf,
+            rho_buf=rho_buf,
+            frozen_at=frozen_at,
+        )
+        return new_carry, (carry.pos, energy, forces)
+
+    init = Carry(
+        pos=batch.pos,
+        r0=jnp.zeros(d, batch.pos.dtype),
+        f0=jnp.zeros(d, batch.pos.dtype),
+        s_buf=jnp.zeros((memory, d), batch.pos.dtype),
+        y_buf=jnp.zeros((memory, d), batch.pos.dtype),
+        rho_buf=jnp.zeros(memory, batch.pos.dtype),
+        frozen_at=jnp.asarray(steps, jnp.int32),
+    )
+    carry, (traj_pos, traj_e, traj_f) = jax.lax.scan(step, init, jnp.arange(steps))
+
+    final_fn = energy_forces_fn_final or energy_forces_fn
+    final_e, final_f = final_fn(batch.replace(pos=carry.pos))  # no constraint (ref :140-143)
+    fnorm = jnp.linalg.norm(jnp.where(atom3, final_f, 0.0), axis=-1)
+    converged = masked_max(fnorm, batch.atom_mask, axis=1) < fmax
+
+    return LBFGSResult(
+        batch=batch.replace(pos=carry.pos),
+        energy=final_e,
+        forces=final_f,
+        traj_pos=traj_pos,
+        traj_energy=traj_e,
+        traj_forces=traj_f,
+        nsteps=jnp.minimum(carry.frozen_at, steps),
+        converged=converged,
+    )
+
+
+def make_mlff_energy_forces(model, variables) -> EnergyForcesFn:
+    """Wrap an s2ef model into the calculator contract: energy [B],
+    forces [B, N, 3] with fixed-atom forces zeroed
+    (ref: lbfgs_torch.py TorchCalc :215-229)."""
+
+    def fn(batch: AtomsBatch):
+        out = model.apply(variables, batch)
+        forces = jnp.where(batch.fixed[..., None], 0.0, out["forces"])
+        return out["energy"], forces
+
+    return fn

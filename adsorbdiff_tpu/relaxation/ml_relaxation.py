@@ -1,0 +1,171 @@
+"""Batch drivers: diffusion sampling and MLFF relaxation over a dataset.
+
+Rebuild of ``ml_relax`` / ``ml_diffuse`` (ref: adsorbdiff/relaxation/
+ml_relaxation.py:23-168).  The reference maintains a deque of batches with
+CUDA-OOM bisection-retry; with static padded shapes memory is known at compile
+time, so the drivers are straight loops: jit-compile once per bucket shape,
+one device dispatch per batch, trajectories written after the scan returns.
+Per-system trajectory files are named ``<sid>.adtraj.npz`` and skipped when
+already present (resumability, ref: sde_denoising_trainer.py:793-800).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adsorbdiff_tpu.data.schema import AtomsBatch
+from adsorbdiff_tpu.diffusion.sampler import SampleResult, langevin_dynamics, reverse_diffusion
+from adsorbdiff_tpu.relaxation.lbfgs import LBFGSResult, lbfgs_relax, make_mlff_energy_forces
+from adsorbdiff_tpu.runtime.trajectory import SUFFIX, Trajectory, check_traj_files
+
+
+def _write_trajs(
+    batch: AtomsBatch,
+    traj_pos: np.ndarray,  # [T, B, N, 3]
+    traj_dir: str,
+    traj_energy: Optional[np.ndarray] = None,  # [T, B]
+    traj_forces: Optional[np.ndarray] = None,  # [T, B, N, 3]
+    save_full: bool = True,
+) -> None:
+    os.makedirs(traj_dir, exist_ok=True)
+    natoms = np.asarray(batch.natoms)
+    sids = np.asarray(batch.sid)
+    written = set()
+    for i in range(batch.batch_size):
+        sid = int(sids[i])
+        if sid in written:  # batch padding repeats the tail system
+            continue
+        written.add(sid)
+        n = int(natoms[i])
+        frames = slice(None) if save_full else slice(-1, None)
+        Trajectory(
+            positions=traj_pos[frames, i, :n],
+            numbers=np.asarray(batch.atomic_numbers)[i, :n],
+            cell=np.asarray(batch.cell)[i],
+            tags=np.asarray(batch.tags)[i, :n],
+            fixed=np.asarray(batch.fixed)[i, :n],
+            energy=None if traj_energy is None else traj_energy[frames, i],
+            forces=None if traj_forces is None else traj_forces[frames, i, :n],
+            sid=sid,
+            fid=int(np.asarray(batch.fid)[i]),
+        ).save(os.path.join(traj_dir, str(sid)))
+
+
+class DiffusionEngine:
+    """Jit-cached reverse-diffusion over batches (the Denoiser + ml_diffuse
+    pair, ref: denoising_torch.py:18-84 + ml_relaxation.py:98-168)."""
+
+    def __init__(self, score_fn, denoising_pos_params: dict, sampler: str = "reverse_sde_rot") -> None:
+        self.score_fn = score_fn
+        self.params = dict(denoising_pos_params)
+        self.sampler = sampler
+        self._fns: Dict[Tuple[int, int], Callable] = {}
+
+    def _fn(self, batch: AtomsBatch):
+        key = (batch.batch_size, batch.max_atoms)
+        if key not in self._fns:
+            if self.sampler == "langevin":
+                f = lambda b, k: langevin_dynamics(self.score_fn, b, self.params, k)  # noqa: E731
+            else:
+                with_rot = "rot_std_low" in self.params
+                f = lambda b, k: reverse_diffusion(  # noqa: E731
+                    self.score_fn, b, self.params, k, with_rotation=with_rot
+                )
+            self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def run(
+        self,
+        batch: AtomsBatch,
+        key: jax.Array,
+        traj_dir: Optional[str] = None,
+        save_full_traj: bool = True,
+        skip_existing: bool = True,
+    ) -> Optional[SampleResult]:
+        if traj_dir and skip_existing and check_traj_files([int(s) for s in np.asarray(batch.sid)], traj_dir):
+            logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
+            return None
+        result: SampleResult = self._fn(batch)(batch, key)
+        if traj_dir:
+            _write_trajs(batch, np.asarray(result.traj_pos), traj_dir, save_full=save_full_traj)
+        return result
+
+
+class RelaxationEngine:
+    """Jit-cached batched L-BFGS over batches (ml_relax, ref: ml_relaxation.py:23-92)."""
+
+    def __init__(self, energy_forces_fn, relax_opt: Optional[dict] = None, steps: int = 300, fmax: float = 0.01) -> None:
+        opt = dict(relax_opt or {})
+        self.kwargs = dict(
+            steps=int(opt.get("steps", steps)),
+            fmax=float(opt.get("fmax", fmax)),
+            maxstep=float(opt.get("maxstep", 0.04)),
+            memory=int(opt.get("memory", 50)),
+            damping=float(opt.get("damping", 1.0)),
+            alpha=float(opt.get("alpha", 70.0)),
+        )
+        self.energy_forces_fn = energy_forces_fn
+        self._fns: Dict[Tuple[int, int], Callable] = {}
+
+    @classmethod
+    def from_model(cls, model, variables, relax_opt: Optional[dict] = None, **kw) -> "RelaxationEngine":
+        return cls(make_mlff_energy_forces(model, variables), relax_opt, **kw)
+
+    def _fn(self, batch: AtomsBatch):
+        key = (batch.batch_size, batch.max_atoms)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(lambda b: lbfgs_relax(self.energy_forces_fn, b, **self.kwargs))
+        return self._fns[key]
+
+    def run(
+        self,
+        batch: AtomsBatch,
+        traj_dir: Optional[str] = None,
+        save_full_traj: bool = True,
+        skip_existing: bool = True,
+    ) -> Optional[LBFGSResult]:
+        if traj_dir and skip_existing and check_traj_files([int(s) for s in np.asarray(batch.sid)], traj_dir):
+            logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
+            return None
+        result: LBFGSResult = self._fn(batch)(batch)
+        if traj_dir:
+            _write_trajs(
+                batch,
+                np.asarray(result.traj_pos),
+                traj_dir,
+                traj_energy=np.asarray(result.traj_energy),
+                traj_forces=np.asarray(result.traj_forces),
+                save_full=save_full_traj,
+            )
+        return result
+
+
+def ml_diffuse(batch: AtomsBatch, trainer, denoising_pos_params: dict, key, traj_dir=None, save_full_traj=True):
+    """Functional facade matching the reference call site (ml_relaxation.py:98)."""
+
+    def score_fn(cur):
+        out = trainer.sampling_model.apply(
+            {"params": trainer.state.ema_params, "scale_factors": trainer.state.scale_factors}, cur
+        )
+        out1, out2 = out if isinstance(out, tuple) else (out, None)
+        if out2 is not None:
+            out2 = jnp.where(cur.fixed[..., None], 0.0, out2)
+        return out1, out2
+
+    engine = DiffusionEngine(score_fn, denoising_pos_params)
+    res = engine.run(batch, key, traj_dir=traj_dir, save_full_traj=save_full_traj)
+    return None if res is None else res.batch
+
+
+def ml_relax(batch: AtomsBatch, model, variables, relax_opt=None, steps=300, fmax=0.01, traj_dir=None, save_full_traj=True):
+    """Functional facade matching the reference call site (ml_relaxation.py:23)."""
+    engine = RelaxationEngine.from_model(model, variables, relax_opt, steps=steps, fmax=fmax)
+    res = engine.run(batch, traj_dir=traj_dir, save_full_traj=save_full_traj)
+    if res is None:
+        return None
+    return res.batch.replace(energy=res.energy, forces=res.forces)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: PaiNN reverse-diffusion sampling throughput on one chip.
+
+Driver metric (BASELINE.json): diffusion sampling steps/sec/chip on the
+published full-size PaiNN denoising model (H=512, 6 layers, cutoff 12 Å,
+max 50 neighbors — ref: configs/denoising/painn_so3.yml:38-46) with the
+published 100-step sampling schedule (ref: :79-83) on OC20-scale systems
+(~80-atom slab+adsorbate).
+
+One "sampling step" = one model forward + rigid-body ODE update for one
+system.  steps/sec/chip = num_steps * batch_size / wall_time.  The entire
+100-step trajectory is ONE device dispatch (lax.scan), so the number is pure
+device throughput.
+
+``vs_baseline``: the reference publishes no wall-clock numbers and its CUDA
+stack cannot run in this image (SURVEY.md §6).  The baseline constant below is
+an estimated A100 reference throughput derived from the reference's per-step
+structure: 100 sequential forwards with per-step host syncs (traj write +
+numpy IGSO(3) lookups per system, ref: denoising_torch.py:322-367) at its
+published batch size 48 — ~20 ms/forward + ~10 ms host work => ~1600
+system-steps/s.  Update when a measured reference number exists.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_SYSTEM_STEPS_PER_SEC = 1600.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adsorbdiff_tpu.data.schema import System, collate
+    from adsorbdiff_tpu.diffusion.sampler import reverse_diffusion
+    from adsorbdiff_tpu.models.painn import PaiNN
+
+    rng = np.random.default_rng(0)
+    batch_size = 16
+    n_slab, n_ads = 74, 6
+    n_pad = 80
+    systems = []
+    for i in range(batch_size):
+        cell = np.diag([11.4, 11.4, 36.0]).astype(np.float32)
+        slab = (rng.random((n_slab, 3)) * [1, 1, 0.35]) @ cell
+        ads = rng.random((n_ads, 3)).astype(np.float32) * 1.6 + np.array([5, 5, 14.5], np.float32)
+        pos = np.concatenate([slab, ads]).astype(np.float32)
+        tags = np.array([0] * (n_slab // 2) + [1] * (n_slab - n_slab // 2) + [2] * n_ads, np.int32)
+        z = np.concatenate([rng.integers(20, 80, n_slab), rng.integers(1, 9, n_ads)])
+        systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags, fixed=tags == 0, sid=i))
+    batch = collate(systems, max_atoms=n_pad)
+
+    model = PaiNN(sampling=True)  # published hparams, conditioning zeroed
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    def score_fn(cur):
+        out1, out2 = model.apply(variables, cur)
+        out2 = jnp.where(cur.fixed[..., None], 0.0, out2)
+        return out1, out2
+
+    params = dict(num_steps=100, ads_std_low=0.1, ads_std_high=10.0, rot_std_low=0.01, rot_std_high=1.55, ode=True)
+    sample = jax.jit(lambda b, k: reverse_diffusion(score_fn, b, params, k))
+
+    # compile + warm
+    res = sample(batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(res.traj_pos)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        res = sample(batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(res.traj_pos)
+    dt = (time.perf_counter() - t0) / reps
+
+    assert np.isfinite(np.asarray(res.batch.pos)).all()
+    system_steps_per_sec = params["num_steps"] * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "painn_diffusion_sampling_system_steps_per_sec_per_chip",
+                "value": round(system_steps_per_sec, 1),
+                "unit": "system-steps/s",
+                "vs_baseline": round(system_steps_per_sec / BASELINE_SYSTEM_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
