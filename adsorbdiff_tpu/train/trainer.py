@@ -1,11 +1,10 @@
-"""Trainers: denoising score-model training and S2EF (energy/forces) training.
+"""Trainers: base machinery + denoising score training + S2EF training.
 
 TPU-native rebuild of the reference trainer stack (ref: adsorbdiff/trainers/
 base_trainer.py:48-878, ocp_trainer.py:27-733, sde_denoising_trainer.py:
 180-951).  The god-object torch trainer becomes:
 
-- a pure jitted ``train_step`` (noise-inject -> forward -> sigma^2-weighted
-  score loss -> grad -> AdamW+clip -> EMA), compiled once per bucket shape;
+- a pure jitted ``train_step`` compiled once per bucket shape;
 - a functional :class:`TrainState` pytree (params, opt_state, EMA, step);
 - a thin Python driver loop handling data, logging, checkpoint cadence and
   the reference's divergence guards (NaN skip / loss>1e6 break,
@@ -13,14 +12,17 @@ base_trainer.py:48-878, ocp_trainer.py:27-733, sde_denoising_trainer.py:
   *inside* the jitted step by masking the update, so the step graph is fixed;
 - GSPMD data parallelism: the batch is sharded over the mesh's ``dp`` axis,
   params replicated; XLA inserts the gradient psum that DDP did by hand.
+
+Host->device syncs are batched: loss scalars accumulate as device arrays and
+drain in one readback per logging window (device->host round-trips through
+the TPU tunnel are the latency hazard, not dispatch).
 """
 from __future__ import annotations
 
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +34,14 @@ from adsorbdiff_tpu.common.logging_utils import setup_logging
 from adsorbdiff_tpu.common.registry import registry
 from adsorbdiff_tpu.data.buckets import BucketedBatcher
 from adsorbdiff_tpu.data.schema import AtomsBatch
-from adsorbdiff_tpu.data.store import ShardDataset, concat_datasets
+from adsorbdiff_tpu.data.store import ShardDataset
 from adsorbdiff_tpu.diffusion.schedules import ads_com_gaussian_schedule, tr_so3_schedule
-from adsorbdiff_tpu.models.painn import PaiNN
 from adsorbdiff_tpu.parallel import mesh as meshlib
 from adsorbdiff_tpu.train import checkpoint as ckpt
 from adsorbdiff_tpu.train.evaluator import Evaluator
-from adsorbdiff_tpu.train.loss import atomwise_l2, denoising_loss, l2mae, mae
+from adsorbdiff_tpu.train.loss import atomwise_l2, denoising_loss, l2mae, mae, mse
 from adsorbdiff_tpu.train.lr import build_lr_schedule
+from adsorbdiff_tpu.train.normalizer import Normalizer
 
 
 @struct.dataclass
@@ -51,12 +53,15 @@ class TrainState:
     ema_params: Any
 
 
-def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None) -> PaiNN:
+def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None):
+    from adsorbdiff_tpu.common.imports import setup_imports
+
+    setup_imports()
     cfg = dict(model_cfg)
     name = cfg.pop("name", "painn")
     cls = registry.get_model_class(name) if isinstance(name, str) else name
-    # accept reference YAML keys; drop ones the TPU build handles elsewhere
-    for k in ("scale_file", "regress_forces", "direct_forces", "use_pbc", "otf_graph", "num_elements_alias"):
+    # accept reference YAML keys the TPU build handles elsewhere
+    for k in ("scale_file", "regress_forces", "direct_forces", "use_pbc", "otf_graph"):
         cfg.pop(k, None)
     if mode is not None:
         cfg["mode"] = mode
@@ -67,15 +72,15 @@ def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optiona
     return cls(**cfg)
 
 
-class DenoisingTrainer:
-    """Score-model training + denoising prediction (ref: sde_denoising_trainer.py:180-951)."""
+class BaseTrainer:
+    """Common machinery (ref: trainers/base_trainer.py:48-878)."""
+
+    name = "base"
 
     def __init__(self, config: dict, mesh="auto") -> None:
         setup_logging()
         self.config = config
         if mesh == "auto":
-            # dp mesh over all local devices, capped so the configured batch
-            # size divides evenly
             n = jax.device_count()
             bs = int(config["optim"].get("batch_size", 4))
             while n > 1 and bs % n != 0:
@@ -87,27 +92,27 @@ class DenoisingTrainer:
         self.task_cfg = config.get("task", {})
         self.seed = int(config.get("seed", 0) or 0)
         self.run_dir = config.get("run_dir", "./")
-        self.identifier = config.get("identifier", "run")
+        self.identifier = config.get("identifier", "run") or "run"
         self.ckpt_dir = os.path.join(self.run_dir, "checkpoints", self.identifier)
+        self.results_dir = os.path.join(self.run_dir, "results", self.identifier)
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(self.results_dir, exist_ok=True)
 
-        self.so3 = bool(self.model_cfg.get("so3_denoising", False))
-        self.denoising_pos_params = self.optim_cfg.get("denoising_pos_params", {}) or {}
-        self.schedule_fn = tr_so3_schedule if self.so3 else ads_com_gaussian_schedule
-
-        self.model = _model_from_config(self.model_cfg)
-        self.sampling_model = _model_from_config(self.model_cfg, sampling=True)
-
+        self.model = _model_from_config(self.model_cfg, mode=self._model_mode())
         self._datasets(config)
+        self._normalizers(config)
         self._optimizer()
         self.state: Optional[TrainState] = None
         self._step_fns: Dict[Tuple[int, int], Any] = {}
-        self._predict_fns: Dict[Tuple[int, int], Any] = {}
-        self.evaluator = Evaluator(task="ocp")
+        self._eval_fns: Dict[Tuple[int, int], Any] = {}
+        self.evaluator = Evaluator(task=self.name if self.name in Evaluator.task_metrics else "ocp")
         self.logger = self._logger(config)
         self.step = 0
         self.epoch = 0.0
         self.best_val_metric = float(config.get("best_val_metric", 1e9))
+
+    def _model_mode(self) -> Optional[str]:
+        return None
 
     # ------------------------------------------------------------------ setup
     def _logger(self, config):
@@ -116,7 +121,12 @@ class DenoisingTrainer:
         logger_cfg = config["logger"]
         name = logger_cfg if isinstance(logger_cfg, str) else logger_cfg.get("name", "tensorboard")
         cls = registry.get_logger_class(name)
-        return cls({"cmd": {"logs_dir": os.path.join(self.run_dir, "logs", self.identifier)}, "logger": logger_cfg if isinstance(logger_cfg, dict) else {}})
+        return cls(
+            {
+                "cmd": {"logs_dir": os.path.join(self.run_dir, "logs", self.identifier)},
+                "logger": logger_cfg if isinstance(logger_cfg, dict) else {},
+            }
+        )
 
     def _datasets(self, config) -> None:
         ds_cfg = config.get("dataset")
@@ -124,23 +134,49 @@ class DenoisingTrainer:
         self.train_batcher = self.val_batcher = self.relax_batcher = None
         bs = int(self.optim_cfg.get("batch_size", 4))
         eval_bs = int(self.optim_cfg.get("eval_batch_size", bs))
+        with_forces = self.name == "s2ef"
         if ds_cfg:
             entries = ds_cfg if isinstance(ds_cfg, list) else [ds_cfg]
-            self.train_dataset = ShardDataset(entries[0]) if entries[0].get("src") else None
-            if self.train_dataset is not None:
-                self.train_batcher = BucketedBatcher(self.train_dataset, bs, seed=self.seed, shuffle=True)
+            if entries[0].get("src"):
+                self.train_dataset = ShardDataset(entries[0])
+                self.train_batcher = BucketedBatcher(
+                    self.train_dataset, bs, seed=self.seed, shuffle=True, with_forces=with_forces
+                )
             if len(entries) > 1 and entries[1].get("src"):
                 self.val_dataset = ShardDataset(entries[1])
-                self.val_batcher = BucketedBatcher(self.val_dataset, eval_bs, seed=self.seed, shuffle=False)
+                self.val_batcher = BucketedBatcher(
+                    self.val_dataset, eval_bs, seed=self.seed, shuffle=False, with_forces=with_forces
+                )
         relax_cfg = self.task_cfg.get("relax_dataset")
         if relax_cfg and relax_cfg.get("src"):
             self.relax_dataset = ShardDataset(relax_cfg)
             self.relax_batcher = BucketedBatcher(self.relax_dataset, eval_bs, seed=self.seed, shuffle=False)
 
+    def _normalizers(self, config) -> None:
+        """Config-declared target normalizers (ref: base_trainer load_datasets
+        normalize_labels/target_mean/target_std handling)."""
+        self.normalizers: Dict[str, Normalizer] = {}
+        ds_cfg = config.get("dataset")
+        entry = (ds_cfg[0] if isinstance(ds_cfg, list) else ds_cfg) or {}
+        if entry.get("normalize_labels"):
+            self.normalizers["energy"] = Normalizer(
+                mean=float(entry.get("target_mean", 0.0)), std=float(entry.get("target_std", 1.0))
+            )
+            if "grad_target_mean" in entry or "grad_target_std" in entry:
+                self.normalizers["forces"] = Normalizer(
+                    mean=float(entry.get("grad_target_mean", 0.0)), std=float(entry.get("grad_target_std", 1.0))
+                )
+
     def _optimizer(self) -> None:
         n_iter = len(self.train_batcher) if self.train_batcher is not None else 1
         self.lr_schedule = build_lr_schedule(
-            {**self.optim_cfg, "scheduler_params": {**(self.optim_cfg.get("scheduler_params", {}) or {}), "epochs": self.optim_cfg.get("max_epochs", 1)}},
+            {
+                **self.optim_cfg,
+                "scheduler_params": {
+                    **(self.optim_cfg.get("scheduler_params", {}) or {}),
+                    "epochs": self.optim_cfg.get("max_epochs", 1),
+                },
+            },
             n_iter,
         )
         wd = float((self.optim_cfg.get("optimizer_params", {}) or {}).get("weight_decay", 0.0))
@@ -156,11 +192,10 @@ class DenoisingTrainer:
     def init_state(self, example_batch: AtomsBatch) -> TrainState:
         variables = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
         params = variables["params"]
-        scale_factors = variables.get("scale_factors", {})
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            scale_factors=scale_factors,
+            scale_factors=variables.get("scale_factors", {}),
             opt_state=self.tx.init(params),
             # distinct buffers: the step donates its input state, and donating
             # aliased params/ema twice is an XLA error
@@ -181,76 +216,36 @@ class DenoisingTrainer:
         return ckpt.save_checkpoint(self.ckpt_dir, name, self.state, config=self.config)
 
     # -------------------------------------------------------------- step fns
-    def _make_train_step(self):
-        model, tx, schedule_fn = self.model, self.tx, self.schedule_fn
-        so3 = self.so3
-        params_cfg = self.denoising_pos_params
-        ema_decay = self.ema_decay
+    def _make_train_step(self) -> Callable:
+        raise NotImplementedError
 
-        def train_step(state: TrainState, batch: AtomsBatch, key: jax.Array):
-            noised, targets = schedule_fn(key, batch, params_cfg)
+    def _loss_and_aux(self, params, scale_factors, batch, key):
+        raise NotImplementedError
 
-            def loss_fn(params):
-                out = model.apply({"params": params, "scale_factors": state.scale_factors}, noised)
-                out1, out2 = (out if so3 else (out, None))
-                return denoising_loss(out1, out2, noised, targets)
-
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            # reference guard: skip the update on non-finite loss
-            # (sde_denoising_trainer.py:428-434) — masked update keeps one graph
-            good = jnp.isfinite(loss)
-            grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_params, state.params)
-            new_opt = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o) if hasattr(n, "shape") else n, new_opt, state.opt_state
-            )
-            if ema_decay:
-                d = jnp.where(good, float(ema_decay), 1.0)
-                new_ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, state.ema_params, new_params)
-            else:
-                new_ema = new_params
-            aux = dict(aux)
-            aux["grad_norm"] = optax.global_norm(grads)
-            new_state = state.replace(
-                step=state.step + 1,
-                params=new_params,
-                opt_state=new_opt,
-                ema_params=new_ema,
-            )
-            return new_state, aux
-
-        return jax.jit(train_step, donate_argnums=(0,))
+    def _finalize_train_step(self, loss, aux, grads, state: TrainState):
+        """Shared update: NaN-masked AdamW + clip + EMA."""
+        good = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_params, state.params)
+        new_opt = jax.tree.map(
+            lambda n, o: jnp.where(good, n, o) if hasattr(n, "shape") else n, new_opt, state.opt_state
+        )
+        if self.ema_decay:
+            d = jnp.where(good, float(self.ema_decay), 1.0)
+            new_ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, state.ema_params, new_params)
+        else:
+            new_ema = new_params
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt, ema_params=new_ema), aux
 
     def _get_step_fn(self, batch: AtomsBatch):
         key = (batch.batch_size, batch.max_atoms)
         if key not in self._step_fns:
             self._step_fns[key] = self._make_train_step()
         return self._step_fns[key]
-
-    def _make_predict_fn(self, use_ema: bool = True):
-        model = self.sampling_model
-        so3 = self.so3
-
-        def predict(state: TrainState, batch: AtomsBatch):
-            params = state.ema_params if use_ema else state.params
-            out = model.apply({"params": params, "scale_factors": state.scale_factors}, batch)
-            out1, out2 = (out if so3 else (out, None))
-            if out2 is not None:
-                # zero rotation output on fixed atoms (ref: denoising_torch.py:496-499)
-                out2 = jnp.where(batch.fixed[..., None], 0.0, out2)
-            return out1, out2
-
-        return jax.jit(predict)
-
-    def predict_denoising(self, batch: AtomsBatch):
-        """Score prediction for the sampler (ref: sde_denoising_trainer.py:555-673,
-        per_image=False path)."""
-        key = (batch.batch_size, batch.max_atoms)
-        if key not in self._predict_fns:
-            self._predict_fns[key] = self._make_predict_fn()
-        return self._predict_fns[key](self.state, batch)
 
     # ------------------------------------------------------------------ train
     def train(self, disable_eval_tqdm: bool = True) -> None:
@@ -274,12 +269,7 @@ class DenoisingTrainer:
         pending: list = []  # device loss scalars since last sync (async dispatch)
 
         def drain() -> bool:
-            """Sync pending losses in ONE readback; returns False to stop.
-
-            Per-step device->host syncs pay a full tunnel round-trip each; the
-            divergence guards only need loss values at logging granularity
-            because the jitted step already masks NaN updates on device.
-            """
+            """Sync pending losses in ONE readback; False => stop training."""
             nonlocal nan_count, metrics
             if not pending:
                 return True
@@ -314,8 +304,7 @@ class DenoisingTrainer:
                 self.state, aux = step_fn(self.state, batch, key)
                 pending.append(aux["loss"])
 
-                boundary = self.step % print_every == 0 or i == 0 or i == n_iter - 1
-                if boundary:
+                if self.step % print_every == 0 or i == 0 or i == n_iter - 1:
                     if not drain():
                         return
                     dt = time.time() - t_last
@@ -343,22 +332,111 @@ class DenoisingTrainer:
         drain()
 
     def _update_best(self, val_metrics: dict) -> None:
-        primary = self.task_cfg.get("primary_metric", "loss")
+        primary = self.task_cfg.get("primary_metric") or "loss"
         if primary in val_metrics and val_metrics[primary]["metric"] < self.best_val_metric:
             self.best_val_metric = val_metrics[primary]["metric"]
             self.save("best_checkpoint")
 
     def validate(self, split: str = "val") -> dict:
-        """EMA-weighted validation loss under freshly sampled noise
-        (ref: sde_denoising_trainer.py:286-368)."""
+        raise NotImplementedError
+
+    # --------------------------------------------------- relaxation plumbing
+    def _write_relaxed_positions(self, ids, positions, chunk_idx) -> None:
+        """npz results write with repeated-sid dedup (ref: base_trainer.py:
+        822-878, sde_denoising_trainer.py:862-909).  Single-controller JAX:
+        one host writes the whole result — no per-rank files to merge."""
+        full_path = os.path.join(self.results_dir, "relaxed_positions.npz")
+        ids = np.asarray(ids)
+        _, idx = np.unique(ids, return_index=True)
+        pos_arr = np.array(positions, dtype=object)
+        np.savez_compressed(
+            full_path,
+            ids=ids[idx],
+            pos=np.concatenate([np.asarray(p) for p in pos_arr[idx]]) if len(idx) else np.zeros((0, 3)),
+            chunk_idx=np.cumsum(np.asarray(chunk_idx)[idx])[:-1] if len(idx) else np.zeros(0, np.int64),
+        )
+        logging.info(f"Writing results to {full_path}")
+
+    def _relax_metrics(self, batch: AtomsBatch, final_pos, final_energy, metrics_is2rs, metrics_is2re):
+        """IS2RS / IS2RE metrics on free atoms (ref: sde_denoising_trainer.py:
+        825-860, ocp_trainer.py:607-641)."""
+        ev_rs, ev_re = Evaluator(task="is2rs"), Evaluator(task="is2re")
+        free = np.asarray(batch.free_mask)
+        natoms_free = free.sum(1)
+        cells = np.asarray(batch.cell)
+        pred_pos = np.asarray(final_pos)[free]
+        tgt_pos = np.asarray(batch.pos_relaxed)[free]
+        target = {
+            "energy": np.asarray(batch.y_relaxed),
+            "positions": tgt_pos,
+            "cell": cells,
+            "pbc": (True, True, True),
+            "natoms": natoms_free,
+        }
+        pred = {
+            "energy": np.asarray(final_energy),
+            "positions": pred_pos,
+            "cell": cells,
+            "pbc": (True, True, True),
+            "natoms": natoms_free,
+        }
+        metrics_is2rs = ev_rs.eval(pred, target, metrics_is2rs)
+        metrics_is2re = ev_re.eval({"energy": pred["energy"]}, {"energy": target["energy"]}, metrics_is2re)
+        return metrics_is2rs, metrics_is2re
+
+    def _log_relax_metrics(self, metrics_is2rs, metrics_is2re, split="val") -> None:
+        for task_name, metrics in (("is2rs", metrics_is2rs), ("is2re", metrics_is2re)):
+            log = {f"{task_name}_{k}": v["metric"] for k, v in metrics.items()}
+            if log:
+                logging.info(f"[{task_name}] " + ", ".join(f"{k}: {v:.4f}" for k, v in log.items()))
+                if self.logger:
+                    self.logger.log(log, step=self.step, split=split)
+
+
+@registry.register_trainer("denoising")
+class DenoisingTrainer(BaseTrainer):
+    """Score-model training + denoising prediction + diffusion sampling
+    (ref: sde_denoising_trainer.py:180-951)."""
+
+    name = "ocp"
+
+    def __init__(self, config: dict, mesh="auto") -> None:
+        self.so3 = bool(config["model"].get("so3_denoising", False))
+        super().__init__(config, mesh)
+        self.denoising_pos_params = self.optim_cfg.get("denoising_pos_params", {}) or {}
+        self.schedule_fn = tr_so3_schedule if self.so3 else ads_com_gaussian_schedule
+        self.sampling_model = _model_from_config(self.model_cfg, sampling=True)
+        self._predict_fns: Dict[Tuple[int, int], Any] = {}
+
+    def _make_train_step(self):
+        model, so3 = self.model, self.so3
+        schedule_fn, params_cfg = self.schedule_fn, self.denoising_pos_params
+
+        def train_step(state: TrainState, batch: AtomsBatch, key: jax.Array):
+            # pos <- pos_relaxed before noising (ref: :413-414)
+            batch = batch.replace(pos=batch.pos_relaxed)
+            noised, targets = schedule_fn(key, batch, params_cfg)
+
+            def loss_fn(params):
+                out = model.apply({"params": params, "scale_factors": state.scale_factors}, noised)
+                out1, out2 = (out if so3 else (out, None))
+                return denoising_loss(out1, out2, noised, targets)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return self._finalize_train_step(loss, aux, grads, state)
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def validate(self, split: str = "val") -> dict:
+        """EMA-weighted validation under freshly sampled noise (ref: :286-368)."""
         batcher = self.val_batcher if split == "val" else self.relax_batcher
         assert batcher is not None
         model, so3 = self.model, self.so3
-        params_cfg = self.denoising_pos_params
-        schedule_fn = self.schedule_fn
+        schedule_fn, params_cfg = self.schedule_fn, self.denoising_pos_params
 
-        @partial(jax.jit)
+        @jax.jit
         def eval_step(state: TrainState, batch: AtomsBatch, key):
+            batch = batch.replace(pos=batch.pos_relaxed)
             noised, targets = schedule_fn(key, batch, params_cfg)
             out = model.apply({"params": state.ema_params, "scale_factors": state.scale_factors}, noised)
             out1, out2 = (out if so3 else (out, None))
@@ -376,6 +454,230 @@ class DenoisingTrainer:
             self.logger.log(log, step=self.step, split=split)
         return metrics
 
+    def _make_predict_fn(self, use_ema: bool = True):
+        model, so3 = self.sampling_model, self.so3
 
-registry.register_trainer("denoising")(DenoisingTrainer)
+        def predict(state: TrainState, batch: AtomsBatch):
+            params = state.ema_params if use_ema else state.params
+            out = model.apply({"params": params, "scale_factors": state.scale_factors}, batch)
+            out1, out2 = (out if so3 else (out, None))
+            if out2 is not None:
+                # zero rotation head on fixed atoms (ref: denoising_torch.py:496-499)
+                out2 = jnp.where(batch.fixed[..., None], 0.0, out2)
+            return out1, out2
+
+        return jax.jit(predict)
+
+    def predict_denoising(self, batch: AtomsBatch):
+        """Score prediction for the sampler (ref: :555-673, per_image=False)."""
+        key = (batch.batch_size, batch.max_atoms)
+        if key not in self._predict_fns:
+            self._predict_fns[key] = self._make_predict_fn()
+        return self._predict_fns[key](self.state, batch)
+
+    def score_fn(self, batch: AtomsBatch):
+        """Traceable score function for jitted samplers."""
+        out = self.sampling_model.apply(
+            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors}, batch
+        )
+        out1, out2 = (out if self.so3 else (out, None))
+        if out2 is not None:
+            out2 = jnp.where(batch.fixed[..., None], 0.0, out2)
+        return out1, out2
+
+    def run_relaxations(self, split: str = "val") -> None:
+        """Diffusion sampling over the relax dataset (ref: :750-951)."""
+        from adsorbdiff_tpu.relaxation.ml_relaxation import DiffusionEngine
+
+        assert self.relax_batcher is not None, "no relax_dataset configured"
+        engine = DiffusionEngine(self.score_fn, self.denoising_pos_params)
+        traj_dir = (self.task_cfg.get("relax_opt", {}) or {}).get("traj_dir")
+        save_full = self.task_cfg.get("save_full_traj", True)
+        write_pos = self.task_cfg.get("write_pos", False)
+        num_batches = self.task_cfg.get("num_relaxation_batches", int(1e9))
+
+        key = jax.random.PRNGKey(self.seed + 2)
+        metrics_is2rs: Dict[str, Any] = {}
+        metrics_is2re: Dict[str, Any] = {}
+        ids, positions, chunk_idx = [], [], []
+        has_targets = None
+        for i, batch in enumerate(self.relax_batcher):
+            if i >= num_batches:
+                break
+            res = engine.run(batch, jax.random.fold_in(key, i), traj_dir=traj_dir, save_full_traj=save_full)
+            if res is None:
+                continue
+            final = res.batch
+            if write_pos:
+                natoms = np.asarray(batch.natoms)
+                for b in range(batch.batch_size):
+                    ids.append(str(int(np.asarray(batch.sid)[b])))
+                    positions.append(np.asarray(final.pos)[b, : natoms[b]])
+                    chunk_idx.append(int(natoms[b]))
+            if has_targets is None:
+                has_targets = bool(np.any(np.asarray(batch.y_relaxed) != 0))
+            if has_targets:
+                metrics_is2rs, metrics_is2re = self._relax_metrics(
+                    batch, final.pos, np.zeros(batch.batch_size), metrics_is2rs, metrics_is2re
+                )
+        if write_pos:
+            self._write_relaxed_positions(ids, positions, chunk_idx)
+        self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)
+
+
+@registry.register_trainer("ocp")
+@registry.register_trainer("energy")
+@registry.register_trainer("forces")
+@registry.register_trainer("s2ef")
+class S2EFTrainer(BaseTrainer):
+    """Energy/forces training — the OCPTrainer (ref: ocp_trainer.py:27-733).
+
+    Loss (ref: _compute_loss :308-356): energy_coefficient * mae(E) +
+    force_coefficient * l2mae(F) with forces trained on free atoms when
+    ``task.train_on_free_atoms`` (the published configs always set it).
+    """
+
+    name = "s2ef"
+
+    def _model_mode(self) -> Optional[str]:
+        return "s2ef"
+
+    def _make_train_step(self):
+        model = self.model
+        e_coef = float(self.optim_cfg.get("energy_coefficient", 1.0))
+        f_coef = float(self.optim_cfg.get("force_coefficient", 30.0))
+        loss_force = str(self.optim_cfg.get("loss_force", "l2mae"))
+        loss_energy = str(self.optim_cfg.get("loss_energy", "mae"))
+        train_free = bool(self.task_cfg.get("train_on_free_atoms", True))
+        e_norm = self.normalizers.get("energy")
+
+        def loss_fn(params, scale_factors, batch):
+            out = model.apply({"params": params, "scale_factors": scale_factors}, batch)
+            e_target = batch.energy
+            if e_norm is not None:
+                e_target = e_norm.norm(e_target)
+            e_mask = jnp.ones_like(out["energy"], dtype=bool)
+            e_fn = mae if loss_energy == "mae" else mse
+            loss_e = e_fn(out["energy"], e_target, e_mask)
+            f_mask = batch.free_mask if train_free else batch.atom_mask
+            if loss_force == "l2mae":
+                loss_f = l2mae(out["forces"], batch.forces, f_mask)
+            elif loss_force.startswith("atomwise"):
+                loss_f = atomwise_l2(out["forces"], batch.forces, f_mask, batch.natoms)
+            else:
+                loss_f = mae(out["forces"], batch.forces, f_mask)
+            loss = e_coef * loss_e + f_coef * loss_f
+            return loss, {"loss": loss, "loss_energy": loss_e, "loss_forces": loss_f}
+
+        def train_step(state: TrainState, batch: AtomsBatch, key: jax.Array):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.scale_factors, batch
+            )
+            return self._finalize_train_step(loss, aux, grads, state)
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _predict(self, batch: AtomsBatch):
+        key = (batch.batch_size, batch.max_atoms)
+        if key not in self._eval_fns:
+            model = self.model
+            e_norm = self.normalizers.get("energy")
+
+            @jax.jit
+            def predict(state: TrainState, batch: AtomsBatch):
+                out = model.apply({"params": state.ema_params, "scale_factors": state.scale_factors}, batch)
+                energy = out["energy"]
+                if e_norm is not None:
+                    energy = e_norm.denorm(energy)
+                return energy, out["forces"]
+
+            self._eval_fns[key] = predict
+        return self._eval_fns[key](self.state, batch)
+
+    def predict(self, batch: AtomsBatch):
+        """(energy [B], forces [B,N,3]) with denormalization (ref: predict :405-535)."""
+        return self._predict(batch)
+
+    def energy_forces_fn(self, batch: AtomsBatch):
+        """Traceable calculator contract with fixed-atom zeroing
+        (ref: lbfgs_torch.py TorchCalc :220-229)."""
+        out = self.model.apply(
+            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors}, batch
+        )
+        energy = out["energy"]
+        e_norm = self.normalizers.get("energy")
+        if e_norm is not None:
+            energy = e_norm.denorm(energy)
+        forces = jnp.where(batch.fixed[..., None], 0.0, out["forces"])
+        return energy, forces
+
+    def validate(self, split: str = "val") -> dict:
+        """s2ef metrics on free atoms (ref: base_trainer.validate :712-785 +
+        ocp_trainer._compute_metrics :358-402)."""
+        batcher = self.val_batcher if split == "val" else self.relax_batcher
+        assert batcher is not None
+        eval_free = bool(self.task_cfg.get("eval_on_free_atoms", True))
+        evaluator = Evaluator(task="s2ef")
+        metrics: Dict[str, Any] = {}
+        for batch in batcher:
+            batch = meshlib.shard_batch(batch, self.mesh)
+            energy, forces = self._predict(batch)
+            m = np.asarray(batch.free_mask if eval_free else batch.atom_mask)
+            pred = {"energy": np.asarray(energy), "forces": np.asarray(forces)[m], "natoms": m.sum(1)}
+            tgt = {
+                "energy": np.asarray(batch.energy),
+                "forces": np.asarray(batch.forces)[m] if batch.forces is not None else np.zeros_like(pred["forces"]),
+                "natoms": m.sum(1),
+            }
+            metrics = evaluator.eval(pred, tgt, metrics)
+        log = {k: metrics[k]["metric"] for k in metrics}
+        logging.info(f"[{split}] " + ", ".join(f"{k}: {v:.4f}" for k, v in log.items()))
+        if self.logger:
+            self.logger.log(log, step=self.step, split=split)
+        return metrics
+
+    def run_relaxations(self, split: str = "val") -> None:
+        """Batched L-BFGS over the relax dataset (ref: ocp_trainer.py:537-733)."""
+        from adsorbdiff_tpu.relaxation.ml_relaxation import RelaxationEngine
+
+        assert self.relax_batcher is not None, "no relax_dataset configured"
+        relax_opt = dict(self.task_cfg.get("relax_opt", {}) or {})
+        engine = RelaxationEngine(
+            self.energy_forces_fn,
+            relax_opt,
+            steps=int(self.task_cfg.get("relaxation_steps", 300)),
+            fmax=float(self.task_cfg.get("relaxation_fmax", 0.01)),
+        )
+        traj_dir = relax_opt.get("traj_dir")
+        save_full = self.task_cfg.get("save_full_traj", True)
+        write_pos = self.task_cfg.get("write_pos", False)
+        num_batches = self.task_cfg.get("num_relaxation_batches", int(1e9))
+
+        metrics_is2rs: Dict[str, Any] = {}
+        metrics_is2re: Dict[str, Any] = {}
+        ids, positions, chunk_idx = [], [], []
+        has_targets = None
+        for i, batch in enumerate(self.relax_batcher):
+            if i >= num_batches:
+                break
+            res = engine.run(batch, traj_dir=traj_dir, save_full_traj=save_full)
+            if res is None:
+                continue
+            if write_pos:
+                natoms = np.asarray(batch.natoms)
+                for b in range(batch.batch_size):
+                    ids.append(str(int(np.asarray(batch.sid)[b])))
+                    positions.append(np.asarray(res.batch.pos)[b, : natoms[b]])
+                    chunk_idx.append(int(natoms[b]))
+            if has_targets is None:
+                has_targets = bool(np.any(np.asarray(batch.y_relaxed) != 0))
+            if has_targets:
+                metrics_is2rs, metrics_is2re = self._relax_metrics(
+                    batch, res.batch.pos, res.energy, metrics_is2rs, metrics_is2re
+                )
+        if write_pos:
+            self._write_relaxed_positions(ids, positions, chunk_idx)
+        self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)
+
+
 registry.register_trainer("adsorbdiff_tpu.train.trainer.DenoisingTrainer")(DenoisingTrainer)
