@@ -1,0 +1,127 @@
+"""Placement toolkit: slab cutting/tagging/tiling, site sampling, adsorbate placement."""
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.placement import Adsorbate, AdsorbateSlabConfig, Bulk, Slab
+from adsorbdiff_tpu.placement.adsorbate import randomly_rotate_adsorbate
+from adsorbdiff_tpu.placement.adsorbate_slab_config import (
+    get_interstitial_distances,
+    get_random_sites_on_triangle,
+    there_is_overlap,
+)
+from adsorbdiff_tpu.placement.slab import (
+    compute_slabs,
+    enumerate_millers,
+    find_surface_atoms_by_height,
+    tile_atoms,
+)
+from adsorbdiff_tpu.runtime.atoms import Atoms
+
+
+def fcc_cu_bulk():
+    a = 3.61
+    cell = np.eye(3) * a
+    frac = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+    return Bulk(bulk_atoms=Atoms(positions=frac @ cell, numbers=[29] * 4, cell=cell), src_id="mp-30")
+
+
+def co_adsorbate():
+    atoms = Atoms(positions=[[0, 0, 0], [0, 0, 1.15]], numbers=[6, 8], cell=np.eye(3) * 20, pbc=(False,) * 3)
+    return Adsorbate(adsorbate_atoms=atoms, binding_indices=[0], smiles="*CO")
+
+
+def test_enumerate_millers():
+    millers = enumerate_millers(1)
+    assert (1, 0, 0) in millers and (1, 1, 1) in millers
+    assert (0, 0, 0) not in millers
+    assert (2, 2, 2) not in enumerate_millers(2)  # non-coprime excluded
+
+
+@pytest.mark.parametrize("millers", [(1, 0, 0), (1, 1, 1), (2, 1, 0)])
+def test_compute_slabs_geometry(millers):
+    bulk = fcc_cu_bulk()
+    (atoms, shift, top), = compute_slabs(bulk.atoms, millers=millers, layers=3, vacuum=12.0)
+    assert len(atoms) > 0
+    cell = atoms.cell
+    # c axis orthogonal to the surface plane and along +z
+    assert abs(cell[2, 0]) < 1e-8 and abs(cell[2, 1]) < 1e-8 and cell[2, 2] > 0
+    # all atoms inside the cell along z with vacuum above
+    assert atoms.positions[:, 2].min() >= -1e-6
+    assert atoms.positions[:, 2].max() <= cell[2, 2] - 11.0
+    # atom density sanity: same as bulk (atoms/volume of the occupied region)
+    slab_vol = np.abs(np.linalg.det(np.stack([cell[0], cell[1], [0, 0, np.ptp(atoms.positions[:, 2]) + 2.0]])))
+    bulk_density = 4 / np.abs(np.linalg.det(bulk.atoms.cell))
+    assert len(atoms) / slab_vol == pytest.approx(bulk_density, rel=0.35)
+
+
+def test_slab_from_bulk_tagged_and_fixed():
+    bulk = fcc_cu_bulk()
+    slab = Slab.from_bulk_get_specific_millers((1, 0, 0), bulk)[0]
+    tags = np.asarray(slab.atoms.tags)
+    assert slab.has_surface_tagged()
+    assert (tags == 0).any()
+    # tiled to at least 8 A in a/b
+    assert np.linalg.norm(slab.atoms.cell[0]) >= 8.0
+    # tag-0 atoms are fixed, surface atoms are free
+    fixed = np.asarray(slab.atoms.fixed)
+    assert (fixed == (tags == 0)).all()
+    # surface atoms are the topmost ones
+    assert slab.atoms.positions[tags == 1, 2].min() >= slab.atoms.positions[tags == 0, 2].max() - 2.01
+
+
+def test_tile_atoms_counts():
+    cell = np.diag([3.0, 4.0, 20.0])
+    atoms = Atoms(positions=[[0, 0, 0]], numbers=[29], cell=cell)
+    tiled = tile_atoms(atoms, min_ab=8)
+    assert len(tiled) == 3 * 2
+    assert np.linalg.norm(tiled.cell[0]) >= 8
+
+
+def test_random_sites_on_triangle_uniform(rng):
+    verts = np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], float)
+    sites = get_random_sites_on_triangle(verts, 500, rng)
+    # inside triangle: x,y >= 0, x+y <= 2
+    assert (sites[:, 0] >= -1e-9).all() and (sites[:, 1] >= -1e-9).all()
+    assert (sites[:, 0] + sites[:, 1] <= 2 + 1e-9).all()
+    assert abs(sites[:, 0].mean() - 2 / 3) < 0.1  # centroid check
+
+
+def test_rotate_adsorbate_rigid(rng):
+    ads = co_adsorbate()
+    rotated, angles = randomly_rotate_adsorbate(ads.atoms, "random", rng=rng)
+    d0 = np.linalg.norm(ads.atoms.positions[1] - ads.atoms.positions[0])
+    d1 = np.linalg.norm(rotated.positions[1] - rotated.positions[0])
+    assert d1 == pytest.approx(d0, abs=1e-9)
+    # heuristic mode keeps the binding atom fixed
+    rotated_h, _ = randomly_rotate_adsorbate(ads.atoms, "heuristic", binding_idx=0, rng=rng)
+    np.testing.assert_allclose(rotated_h.positions[0], ads.atoms.positions[0], atol=1e-9)
+
+
+def test_adsorbate_slab_config_end_to_end():
+    bulk = fcc_cu_bulk()
+    slab = Slab.from_bulk_get_specific_millers((1, 0, 0), bulk)[0]
+    ads = co_adsorbate()
+    config = AdsorbateSlabConfig(slab, ads, num_sites=5, mode="random", rng=np.random.default_rng(0))
+    assert 1 <= len(config.sites) <= 5
+    assert len(config.atoms_list) == len(config.sites)
+    cell = np.asarray(slab.atoms.cell)
+    for atoms, meta in zip(config.atoms_list, config.metadata_list):
+        tags = np.asarray(atoms.tags)
+        assert (tags == 2).sum() == 2  # CO added
+        # no covalent overlap after the normal lift
+        assert not there_is_overlap(atoms), get_interstitial_distances(atoms).min()
+        # adsorbate sits above the surface
+        assert atoms.positions[tags == 2, 2].min() > atoms.positions[tags < 2, 2].max() - 0.5
+        # sites are inside the central cell in xy
+        frac = meta["site"] @ np.linalg.inv(cell)
+        assert -1e-6 <= frac[0] <= 1 + 1e-6 and -1e-6 <= frac[1] <= 1 + 1e-6
+    # metadata dict round trip
+    md = config.get_metadata_dict(0)
+    assert md["adsorbed_slab_metadata"]["bulk_id"] == "mp-30"
+
+
+def test_bulk_get_slabs_smoke():
+    bulk = fcc_cu_bulk()
+    slabs = bulk.get_slabs(max_miller=1)
+    assert len(slabs) >= 3
+    assert all(s.has_surface_tagged() for s in slabs)
