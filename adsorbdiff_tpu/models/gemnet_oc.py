@@ -1,0 +1,561 @@
+"""GemNet-OC — quadruplet/triplet/pair hierarchy GNN, TPU-native.
+
+Rebuild of the reference GemNet-OC (ref: adsorbdiff/models/gemnet_oc/
+gemnet_oc.py:47-1367, layers/*.py ~4,400 LoC) — the MLFF used for the
+relaxation stage (ref: configs/relaxation/gemnet_oc/gemnet_relax.yml) and the
+"gemnet_oc" denoising score model (ref: gemnet_oc_denoising.py:55-1410).
+
+TPU-first redesign (same architecture, same hyperparameter names, different
+data layout):
+
+- the reference builds 4 variable-length sparse graphs with torch_scatter
+  index plumbing (``get_graphs_and_indices``, ref: gemnet_oc.py:989-1123);
+  here each graph is a fixed-shape ``[N, K]`` neighbor table and triplets /
+  quadruplets are dense masked tensors ``[N, K_out, K_in]`` /
+  ``[N, K1, Kq, K2]`` — every aggregation is an einsum over static axes
+  (MXU-shaped batched matmuls), no scatter at all;
+- ``EfficientInteractionBilinear`` (ref: layers/efficient.py:15-270) becomes a
+  pair of einsums over (basis-emb, neighbor) axes;
+- directed-edge bookkeeping (``id_swap``, edge symmetrization,
+  ``repeat_blocks``) disappears: triplets/quads are enumerated *per output
+  edge*, so messages land directly on the edge that consumes them.  The
+  reference's ``symmetric_mp`` second up-projection has no analogue — each
+  edge direction runs its own aggregation (documented divergence; this is a
+  re-design, not a weight-port);
+- bases: gaussian RBF x polynomial envelope, circular basis = Y_l0 Legendre
+  (``spherical_harmonics``), spherical basis = Legendre outer product
+  (``legendre_outer``) — ref: layers/spherical_basis.py:15-143.
+
+Cited hot-spot parity: interaction block wiring ref: layers/
+interaction_block.py:237-355, atom-update / output blocks ref: layers/
+atom_update_block.py:18-195, force head = per-edge scalars projected on unit
+edge vectors and summed per atom, ref: gemnet_oc.py:1330-1357.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from adsorbdiff_tpu.common.registry import registry
+from adsorbdiff_tpu.data.schema import AtomsBatch
+from adsorbdiff_tpu.models.base import generate_graph
+from adsorbdiff_tpu.models.layers import AtomEmbedding, RadialBasis, ScaleFactor, scaled_silu
+
+
+# --------------------------------------------------------------------------
+# small layers
+# --------------------------------------------------------------------------
+class DenseLayer(nn.Module):
+    """gemnet Dense: linear (He-orthogonal-ish init, no bias) + ScaledSiLU
+    (ref: layers/base_layers.py Dense)."""
+
+    units: int
+    activation: bool = True
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.units, use_bias=self.bias, kernel_init=nn.initializers.orthogonal())(x)
+        return scaled_silu(x) if self.activation else x
+
+
+class ResidualLayer(nn.Module):
+    """(x + MLP2(x)) / sqrt(2) (ref: layers/base_layers.py ResidualLayer)."""
+
+    units: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = DenseLayer(self.units)(x)
+        y = DenseLayer(self.units)(y)
+        return (x + y) * (1 / math.sqrt(2.0))
+
+
+class MLPStack(nn.Module):
+    """Dense-in (if size changes) + nHidden residual blocks (ref: atom_update_block.get_mlp)."""
+
+    units: int
+    n_hidden: int
+    dense_in: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.dense_in and x.shape[-1] != self.units:
+            x = DenseLayer(self.units)(x)
+        for _ in range(self.n_hidden):
+            x = ResidualLayer(self.units)(x)
+        return x
+
+
+def legendre_y_l0(cos_theta: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Real spherical harmonics Y_l^0 ~ sqrt((2l+1)/4pi) P_l(cos),
+    l = 0..num-1 (ref: layers/basis_utils.py via get_sph_harm_basis zero_m_only)."""
+    ps = [jnp.ones_like(cos_theta), cos_theta]
+    for l in range(2, num):
+        ps.append(((2 * l - 1) * cos_theta * ps[l - 1] - (l - 1) * ps[l - 2]) / l)
+    out = [math.sqrt((2 * l + 1) / (4 * math.pi)) * ps[l] for l in range(num)]
+    return jnp.stack(out, axis=-1)
+
+
+class BasisEmbedding(nn.Module):
+    """rad (x sph) basis -> embedding via a learned tensor
+    (ref: layers/efficient.py BasisEmbedding)."""
+
+    num_radial: int
+    emb_size: int
+    num_spherical: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, rad: jnp.ndarray, sph: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.num_spherical is None:
+            w = self.param("weight", nn.initializers.orthogonal(), (self.num_radial, self.emb_size))
+            return rad @ w
+        w = self.param(
+            "weight", nn.initializers.orthogonal(), (self.num_radial, self.num_spherical * self.emb_size)
+        )
+        w = w.reshape(self.num_radial, self.num_spherical, self.emb_size)
+        return jnp.einsum("...r,...s,rsf->...f", rad, sph, w)
+
+
+class EfficientBilinear(nn.Module):
+    """sum over in-neighbors of basis-emb x message, bilinear to out size
+    (ref: layers/efficient.py EfficientInteractionBilinear:15-270).
+
+    basis: [..., K_in, F], x: [..., K_in, E_in], mask: [..., K_in]
+    out:   [..., E_out] = reshape(sum_k basis_k (x) x_k) @ W
+    """
+
+    emb_size_in: int
+    emb_size_basis: int
+    emb_size_out: int
+
+    @nn.compact
+    def __call__(self, basis, x, mask):
+        w = self.param(
+            "weight",
+            nn.initializers.orthogonal(),
+            (self.emb_size_basis * self.emb_size_in, self.emb_size_out),
+        )
+        basis = jnp.where(mask[..., None], basis, 0.0)
+        outer = jnp.einsum("...kf,...ke->...fe", basis, x)
+        flat = outer.reshape(outer.shape[:-2] + (self.emb_size_basis * self.emb_size_in,))
+        return flat @ w
+
+
+# --------------------------------------------------------------------------
+# geometry helpers (dense)
+# --------------------------------------------------------------------------
+def _gather_rows(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """a: [B, N, ...], src: [B, N, K] -> a[b, src[b,i,k]] as [B, N, K, ...]."""
+    b, n, k = src.shape
+    flat = jnp.take_along_axis(
+        a.reshape(b, a.shape[1], -1), src.reshape(b, n * k)[..., None], axis=1
+    )
+    return flat.reshape((b, n, k) + a.shape[2:])
+
+
+def _cos_clamped(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    num = jnp.sum(u * v, axis=-1)
+    den = jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(v, axis=-1)
+    return jnp.clip(num / jnp.maximum(den, 1e-9), -1.0, 1.0)
+
+
+def _same_edge(src_a, off_a, src_b, off_b) -> jnp.ndarray:
+    """True where (src, offset) pairs denote the same periodic neighbor."""
+    return (src_a == src_b) & jnp.all(off_a == off_b, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# the model
+# --------------------------------------------------------------------------
+@registry.register_model("gemnet_oc")
+@registry.register_model("gemnet_oc_denoising")
+class GemNetOC(nn.Module):
+    """Hyperparameter names/defaults follow the published relaxation config
+    (ref: configs/relaxation/gemnet_oc/gemnet_relax.yml:40-87)."""
+
+    num_spherical: int = 7
+    num_radial: int = 128
+    num_blocks: int = 4
+    emb_size_atom: int = 256
+    emb_size_edge: int = 512
+    emb_size_trip_in: int = 64
+    emb_size_trip_out: int = 64
+    emb_size_quad_in: int = 32
+    emb_size_quad_out: int = 32
+    emb_size_aint_in: int = 64
+    emb_size_aint_out: int = 64
+    emb_size_rbf: int = 16
+    emb_size_cbf: int = 16
+    emb_size_sbf: int = 32
+    num_before_skip: int = 2
+    num_after_skip: int = 2
+    num_concat: int = 1
+    num_atom: int = 3
+    num_output_afteratom: int = 3
+    num_atom_emb_layers: int = 2
+    num_global_out_layers: int = 2
+    cutoff: float = 12.0
+    cutoff_qint: float = 12.0
+    cutoff_aeaint: float = 12.0
+    cutoff_aint: float = 12.0
+    max_neighbors: int = 30
+    max_neighbors_qint: int = 8
+    max_neighbors_aeaint: int = 20
+    rbf: Optional[dict] = None
+    envelope: Optional[dict] = None
+    extensive: bool = True
+    quad_interaction: bool = True
+    atom_edge_interaction: bool = True
+    edge_atom_interaction: bool = True
+    atom_interaction: bool = True
+    qint_tags: Tuple[int, ...] = (1, 2)
+    num_elements: int = 83
+    cell_reps: Tuple[int, int, int] = (2, 2, 1)
+    mode: str = "s2ef"  # "s2ef" | "denoising"
+    so3_denoising: bool = True
+    energy_encoding: Optional[str] = None
+    sampling: bool = False
+
+    def _rbf(self, name: str):
+        return RadialBasis(
+            num_radial=self.num_radial,
+            cutoff=self.cutoff,
+            rbf=self.rbf or {"name": "gaussian"},
+            envelope=self.envelope or {"name": "polynomial", "exponent": 5},
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, batch: AtomsBatch):
+        eps = 1e-9
+        # ---------------- graphs (ref: get_graphs_and_indices :989-1123) ----
+        nl, dist, unit = generate_graph(
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+        )
+        emask = nl.mask  # [B, N, K1]
+        # a2ee2a graph (atom-atom pairs for a2e / e2a triplets)
+        nl_ae, dist_ae, unit_ae = generate_graph(
+            batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint, cell_reps=self.cell_reps
+        )
+        # qint graph restricted to qint_tags atoms (ref: gemnet_oc.py qint_tags)
+        nl_q, dist_q, unit_q = generate_graph(
+            batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint, cell_reps=self.cell_reps
+        )
+        tagged = jnp.zeros_like(batch.tags, dtype=bool)
+        for t in self.qint_tags:
+            tagged |= batch.tags == t
+        qmask = nl_q.mask & tagged[:, :, None] & _gather_rows(tagged, nl_q.src)
+
+        # ---------------- bases ---------------------------------------------
+        rad_main = self._rbf("radial_basis")(dist)  # [B,N,K1,R]
+        rad_ae = self._rbf("radial_basis_aeaint")(dist_ae)
+
+        basis_atom_update = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_h")(rad_main)
+        basis_output = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_out")(rad_main)
+
+        # e2e triplets: out edge (a,k1, src c); in edges of c: (c,k2, src d)
+        in_unit = _gather_rows(unit, nl.src)  # [B,N,K1,K2,3] = unit vecs of c's edges
+        in_mask = _gather_rows(emask, nl.src)
+        cos_e2e = _cos_clamped(-unit[:, :, :, None, :], in_unit)  # angle at c between c->a and c->d
+        # mask backtracking triplet d == a (same periodic image)
+        back = _same_edge(
+            _gather_rows(nl.src, nl.src),
+            _gather_rows(nl.cell_offsets, nl.src),
+            # the reverse of edge (a -> c): src a, offset -off
+            jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, nl.src.shape[:2], 1)[:, :, None, None],
+                _gather_rows(nl.src, nl.src).shape,
+            ),
+            -nl.cell_offsets[:, :, :, None, :],
+        )
+        trip_mask_e2e = emask[..., None] & in_mask & ~back
+        cbf_e2e = legendre_y_l0(cos_e2e, self.num_spherical)
+        cir_e2e = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint")(
+            rad_main[:, :, :, None, :], cbf_e2e
+        )
+        rad_e2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_tint")(rad_main)
+
+        # quadruplets: edge ca (a,k1), qint edge ab (a,kq), in-edge db of b (b,k2)
+        if self.quad_interaction:
+            q_in_unit = _gather_rows(unit, nl_q.src)  # [B,N,Kq,K1in,3]: edges of b
+            q_in_mask = _gather_rows(emask, nl_q.src)
+            # angle abd at vertex b between b->a (-unit_q) and b->d
+            cos_abd = _cos_clamped(-unit_q[:, :, :, None, :], q_in_unit)  # [B,N,Kq,K2]
+            cbf_q = legendre_y_l0(cos_abd, self.num_spherical)
+            rad_q = self._rbf("radial_basis_qint")(dist_q)
+            cir_q = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_qint")(
+                rad_q[:, :, :, None, :], cbf_q
+            )
+            # angle cab at vertex a between a->c and a->b: [B,N,K1,Kq]
+            cos_cab = _cos_clamped(unit[:, :, :, None, :], unit_q[:, :, None, :, :])
+            # dihedral cabd: planes (c,a,b) and (a,b,d) about axis ab
+            n1 = jnp.cross(unit[:, :, :, None, :], unit_q[:, :, None, :, :])  # [B,N,K1,Kq,3]
+            n2 = jnp.cross(unit_q[:, :, :, None, :], q_in_unit)  # [B,N,Kq,K2,3]
+            n1 = n1[:, :, :, :, None, :]  # [B,N,K1,Kq,1,3]
+            n2 = n2[:, :, None, :, :, :]  # [B,N,1,Kq,K2,3]
+            cos_dih = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), eps
+            )
+            cos_dih = jnp.clip(cos_dih, -1.0, 1.0)  # [B,N,K1,Kq,K2]
+            sbf_raw = (
+                legendre_y_l0(cos_cab[..., None], self.num_spherical)[..., :, None]
+                * legendre_y_l0(cos_dih, self.num_spherical)[..., None, :]
+            ).reshape(cos_dih.shape + (self.num_spherical**2,))
+            sph_q = BasisEmbedding(self.num_radial, self.emb_size_sbf, self.num_spherical**2, name="mlp_sbf_qint")(
+                rad_main[:, :, :, None, None, :], sbf_raw
+            )  # [B,N,K1,Kq,K2,emb_sbf]
+            rad_qint_edges = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_qint")(rad_main)
+            # quad validity: b != c, d != a
+            b_is_c = _same_edge(
+                nl_q.src[:, :, None, :], nl_q.cell_offsets[:, :, None, :, :],
+                nl.src[:, :, :, None], nl.cell_offsets[:, :, :, None, :],
+            )  # [B,N,K1,Kq]
+            a_idx = jax.lax.broadcasted_iota(jnp.int32, nl_q.src.shape[:2], 1)
+            d_is_a = _same_edge(
+                _gather_rows(nl.src, nl_q.src),
+                _gather_rows(nl.cell_offsets, nl_q.src),
+                a_idx[:, :, None, None],
+                -nl_q.cell_offsets[:, :, :, None, :],
+            )  # [B,N,Kq,K2]
+            quad_mask = (
+                emask[:, :, :, None, None]
+                & qmask[:, :, None, :, None]
+                & q_in_mask[:, :, None, :, :]
+                & ~b_is_c[..., None]
+                & ~d_is_a[:, :, None, :, :]
+            )  # [B,N,K1,Kq,K2]
+
+        # a2e triplets: out edge (a,k1,src c); a2ee2a neighbors of c: (c,k2,src d) -> message from h[d]
+        ae_in_unit = _gather_rows(unit_ae, nl.src)  # [B,N,K1,K2ae,3]
+        ae_in_mask = _gather_rows(nl_ae.mask, nl.src)
+        cos_a2e = _cos_clamped(-unit[:, :, :, None, :], ae_in_unit)
+        cbf_a2e = legendre_y_l0(cos_a2e, self.num_spherical)
+        cir_a2e = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint")(
+            rad_main[:, :, :, None, :], cbf_a2e
+        )
+        rad_a2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aeint")(rad_ae)
+        trip_mask_a2e = emask[..., None] & ae_in_mask
+
+        # e2a triplets: out ATOM a; a2ee2a neighbors (a,kb, src b); in-edges of b (b,k2, src d)
+        ea_in_unit = _gather_rows(unit, nl_ae.src)  # [B,N,Kae,K1,3]
+        ea_in_mask = _gather_rows(emask, nl_ae.src)
+        cos_e2a = _cos_clamped(-unit_ae[:, :, :, None, :], ea_in_unit)
+        cbf_e2a = legendre_y_l0(cos_e2a, self.num_spherical)
+        rad_ae_in = _gather_rows(rad_main, nl_ae.src)  # rbf of in-edges db
+        cir_e2a = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_eaint")(
+            rad_ae_in, cbf_e2a
+        )
+        rad_e2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_eaint")(rad_main)
+        trip_mask_e2a = nl_ae.mask[..., None] & ea_in_mask
+
+        # a2a: all pairs within cutoff_aint (dense, cap-free like the config's
+        # 1000); home-cell distances only — the aint branch is a long-range
+        # radial correction and the slab z-vacuum dominates beyond one image
+        diff_aa = batch.pos[:, None, :, :] - batch.pos[:, :, None, :]
+        dist_aa = jnp.sqrt(jnp.sum(diff_aa * diff_aa, axis=-1) + 1e-12)  # grad-safe at i==j
+        aa_mask = (
+            batch.atom_mask[:, :, None]
+            & batch.atom_mask[:, None, :]
+            & (dist_aa <= self.cutoff_aint)
+            & (dist_aa > 1e-2)
+        )
+        rad_aa = self._rbf("radial_basis_aint")(dist_aa)
+        basis_a2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aint")(rad_aa)
+
+        # ---------------- embeddings (ref: forward :1272-1276) --------------
+        z = batch.atomic_numbers
+        h = AtomEmbedding(self.emb_size_atom, self.num_elements, name="atom_emb")(z)
+        if self.energy_encoding == "scalar":
+            e_cond = jnp.zeros_like(batch.energy) if self.sampling else batch.energy
+            h = h + nn.Dense(self.emb_size_atom, name="energy_embedding")(e_cond[:, None])[:, None, :]
+        h_src = _gather_rows(h, nl.src)
+        m = DenseLayer(self.emb_size_edge, name="edge_emb")(
+            jnp.concatenate([jnp.broadcast_to(h[:, :, None, :], h_src.shape), h_src, rad_main], axis=-1)
+        )  # [B,N,K1,He]
+        m = jnp.where(emask[..., None], m, 0.0)
+
+        def out_block(i, h, m):
+            """OutputBlock (ref: atom_update_block.py:92-195)."""
+            name = f"out_block_{i}"
+            be = DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_rbf_E")(basis_output)
+            xe = jnp.sum(jnp.where(emask[..., None], m * be, 0.0), axis=2)
+            xe = ScaleFactor(name=f"{name}_scale_sum")(xe)
+            xe = MLPStack(self.emb_size_atom, self.num_atom, name=f"{name}_seq_E")(xe)
+            xe = (xe + h) * (1 / math.sqrt(2.0))
+            xe = MLPStack(self.emb_size_atom, self.num_output_afteratom, name=f"{name}_seq_E2")(xe)
+            xf = MLPStack(self.emb_size_edge, self.num_atom, dense_in=False, name=f"{name}_seq_F")(m)
+            bf = DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_rbf_F")(basis_output)
+            xf = ScaleFactor(name=f"{name}_scale_rbf_F")(xf * bf)
+            return xe, xf
+
+        xs_e, xs_f = [], []
+        xe, xf = out_block(0, h, m)
+        xs_e.append(xe)
+        xs_f.append(xf)
+
+        inv_sqrt_2 = 1 / math.sqrt(2.0)
+        n_eint = 2 + int(self.quad_interaction) + int(self.atom_edge_interaction)
+        n_aint = 1 + int(self.edge_atom_interaction) + int(self.atom_interaction)
+
+        for blk in range(self.num_blocks):
+            name = f"int_block_{blk}"
+            x_skip = DenseLayer(self.emb_size_edge, name=f"{name}_dense_ca")(m)
+
+            # --- e2e triplet interaction (ref: TripletInteraction) ----------
+            x_ba = DenseLayer(self.emb_size_edge, name=f"{name}_tint_dense")(m)
+            x_ba = ScaleFactor(name=f"{name}_tint_scale_rbf")(
+                x_ba * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_tint_rbf")(rad_e2e)
+            )
+            x_ba = DenseLayer(self.emb_size_trip_in, name=f"{name}_tint_down")(x_ba)
+            x_in = _gather_rows(x_ba, nl.src)  # [B,N,K1,K2,ei] in-edge embeddings
+            x_t = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
+                                    name=f"{name}_tint_bilinear")(cir_e2e, x_in, trip_mask_e2e)
+            x_t = ScaleFactor(name=f"{name}_tint_scale_sum")(x_t)
+            x_e2e = DenseLayer(self.emb_size_edge, name=f"{name}_tint_up")(x_t)
+
+            x = x_skip + x_e2e
+
+            # --- quadruplet interaction (ref: QuadrupletInteraction) --------
+            if self.quad_interaction:
+                x_db = DenseLayer(self.emb_size_edge, name=f"{name}_qint_dense")(m)
+                x_db = ScaleFactor(name=f"{name}_qint_scale_rbf")(
+                    x_db * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_qint_rbf")(rad_qint_edges)
+                )
+                x_db = DenseLayer(self.emb_size_quad_in, name=f"{name}_qint_down")(x_db)
+                # triplets (a, kq(b), k2(d)): in-edge emb of b's edges x cbf(abd)
+                x_db_t = _gather_rows(x_db, nl_q.src)  # [B,N,Kq,K2,eq]
+                cbf_gate = DenseLayer(self.emb_size_quad_in, activation=False, name=f"{name}_qint_cbf_gate")(cir_q)
+                x_db_t = ScaleFactor(name=f"{name}_qint_scale_cbf")(x_db_t * cbf_gate)
+                # expand over out edges k1 and contract (kq, k2) with sbf
+                quad_x = jnp.broadcast_to(
+                    x_db_t[:, :, None, :, :, :],
+                    sph_q.shape[:-1] + (self.emb_size_quad_in,),
+                ).reshape(sph_q.shape[0], sph_q.shape[1], sph_q.shape[2], -1, self.emb_size_quad_in)
+                quad_b = sph_q.reshape(sph_q.shape[0], sph_q.shape[1], sph_q.shape[2], -1, self.emb_size_sbf)
+                quad_m = quad_mask.reshape(quad_mask.shape[0], quad_mask.shape[1], quad_mask.shape[2], -1)
+                x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
+                                        name=f"{name}_qint_bilinear")(quad_b, quad_x, quad_m)
+                x_q = ScaleFactor(name=f"{name}_qint_scale_sbf")(x_q)
+                x = x + DenseLayer(self.emb_size_edge, name=f"{name}_qint_up")(x_q)
+
+            # --- atom->edge interaction (ref: TripletInteraction a2e) -------
+            if self.atom_edge_interaction:
+                x_h = DenseLayer(self.emb_size_edge, name=f"{name}_aeint_dense")(h)
+                x_h = _gather_rows(x_h, nl_ae.src)  # [B,N,Kae,He]: neighbor-atom embs
+                x_h = ScaleFactor(name=f"{name}_aeint_scale_rbf")(
+                    x_h * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_aeint_rbf")(rad_a2e)
+                )
+                x_h = DenseLayer(self.emb_size_trip_in, name=f"{name}_aeint_down")(x_h)
+                x_h_in = _gather_rows(x_h, nl.src)  # per out-edge: neighbors of source c
+                x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
+                                         name=f"{name}_aeint_bilinear")(cir_a2e, x_h_in, trip_mask_a2e)
+                x_ae = ScaleFactor(name=f"{name}_aeint_scale_sum")(x_ae)
+                x = x + DenseLayer(self.emb_size_edge, name=f"{name}_aeint_up")(x_ae)
+
+            x = x * (1 / math.sqrt(n_eint))
+
+            # --- edge->atom interaction (aggregates into atoms) --------------
+            h_new = h
+            if self.edge_atom_interaction:
+                x_m = DenseLayer(self.emb_size_edge, name=f"{name}_eaint_dense")(m)
+                x_m = ScaleFactor(name=f"{name}_eaint_scale_rbf")(
+                    x_m * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_eaint_rbf")(rad_e2a)
+                )
+                x_m = DenseLayer(self.emb_size_aint_in, name=f"{name}_eaint_down")(x_m)
+                x_m_in = _gather_rows(x_m, nl_ae.src)  # [B,N,Kae,K1,ei]: edges of b
+                h_e2a_kb = EfficientBilinear(self.emb_size_aint_in, self.emb_size_cbf, self.emb_size_aint_out,
+                                             name=f"{name}_eaint_bilinear")(
+                    cir_e2a.reshape(cir_e2a.shape[:2] + (-1, self.emb_size_cbf)),
+                    x_m_in.reshape(x_m_in.shape[:2] + (-1, self.emb_size_aint_in)),
+                    trip_mask_e2a.reshape(trip_mask_e2a.shape[:2] + (-1,)),
+                )
+                h_e2a = ScaleFactor(name=f"{name}_eaint_scale_sum")(h_e2a_kb)
+                h_new = h_new + DenseLayer(self.emb_size_atom, name=f"{name}_eaint_up")(h_e2a)
+
+            # --- atom->atom interaction (radial bilinear, ref: PairInteraction)
+            if self.atom_interaction:
+                x_a = DenseLayer(self.emb_size_aint_in, name=f"{name}_aint_down")(h)
+                ba = jnp.where(aa_mask[..., None], basis_a2a, 0.0)
+                h_a2a_f = jnp.einsum("bnjf,bnje->bnfe", ba[:, :, :, : self.emb_size_rbf], _pair_gather(x_a))
+                h_a2a_f = h_a2a_f.reshape(h_a2a_f.shape[:2] + (-1,))
+                w_aa = self.param(
+                    "aint_bilinear_" + str(blk),
+                    nn.initializers.orthogonal(),
+                    (self.emb_size_rbf * self.emb_size_aint_in, self.emb_size_aint_out),
+                )
+                h_a2a = ScaleFactor(name=f"{name}_aint_scale")(h_a2a_f @ w_aa)
+                h_new = h_new + DenseLayer(self.emb_size_atom, name=f"{name}_aint_up")(h_a2a)
+
+            h_mid = h_new * (1 / math.sqrt(n_aint))
+
+            # --- edge update residuals + skip (ref: interaction_block :324-335)
+            for r in range(self.num_before_skip):
+                x = ResidualLayer(self.emb_size_edge, name=f"{name}_before_skip_{r}")(x)
+            m = (m + x) * inv_sqrt_2
+            for r in range(self.num_after_skip):
+                m = ResidualLayer(self.emb_size_edge, name=f"{name}_after_skip_{r}")(m)
+            m = jnp.where(emask[..., None], m, 0.0)
+
+            # --- atom update (ref: :337-344 + AtomUpdateBlock) ---------------
+            for r in range(self.num_atom_emb_layers):
+                h_mid = ResidualLayer(self.emb_size_atom, name=f"{name}_atom_emb_{r}")(h_mid)
+            bau = DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_au_rbf")(basis_atom_update)
+            h2 = jnp.sum(jnp.where(emask[..., None], m * bau, 0.0), axis=2)
+            h2 = ScaleFactor(name=f"{name}_au_scale")(h2)
+            h2 = MLPStack(self.emb_size_atom, self.num_atom, name=f"{name}_au_mlp")(h2)
+            h = (h_mid + h2) * inv_sqrt_2
+
+            # --- concat layer: refresh m with updated atoms (ref: :346-355) --
+            h_src2 = _gather_rows(h, nl.src)
+            m2 = DenseLayer(self.emb_size_edge, name=f"{name}_concat")(
+                jnp.concatenate([jnp.broadcast_to(h[:, :, None, :], h_src2.shape), h_src2, m], axis=-1)
+            )
+            for r in range(self.num_concat):
+                m2 = ResidualLayer(self.emb_size_edge, name=f"{name}_concat_res_{r}")(m2)
+            m = (m + m2) * inv_sqrt_2
+            m = jnp.where(emask[..., None], m, 0.0)
+
+            xe, xf = out_block(blk + 1, h, m)
+            xs_e.append(xe)
+            xs_f.append(xf)
+
+        # ---------------- global output (ref: forward :1306-1367) ------------
+        x_e = MLPStack(self.emb_size_atom, 0, dense_in=True, name="out_mlp_E_in")(
+            jnp.concatenate(xs_e, axis=-1)
+        )
+        for r in range(self.num_global_out_layers):
+            x_e = ResidualLayer(self.emb_size_atom, name=f"out_mlp_E_{r}")(x_e)
+        e_atom = nn.Dense(1, use_bias=False, name="out_energy")(x_e)[..., 0]
+        e_atom = jnp.where(batch.atom_mask, e_atom, 0.0)
+        energy = jnp.sum(e_atom, axis=1) if self.extensive else (
+            jnp.sum(e_atom, axis=1) / jnp.maximum(jnp.sum(batch.atom_mask, axis=1), 1)
+        )
+
+        def force_head(tag: str):
+            x_f = MLPStack(self.emb_size_edge, 0, dense_in=True, name=f"out_mlp_F_in{tag}")(
+                jnp.concatenate(xs_f, axis=-1)
+            )
+            for r in range(self.num_global_out_layers):
+                x_f = ResidualLayer(self.emb_size_edge, name=f"out_mlp_F{tag}_{r}")(x_f)
+            f_st = nn.Dense(1, use_bias=False, name=f"out_forces{tag}")(x_f)[..., 0]  # [B,N,K1]
+            f_st = jnp.where(emask, f_st, 0.0)
+            f_vec = jnp.sum(f_st[..., None] * unit, axis=2)  # [B,N,3] aggregated at target
+            return jnp.where(batch.atom_mask[..., None], f_vec, 0.0)
+
+        forces = force_head("")
+        if self.mode == "denoising":
+            if self.so3_denoising:
+                return forces, force_head("_so3")
+            return forces
+        return {"energy": energy, "forces": forces}
+
+
+def _pair_gather(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, E] -> [B, N(target), N(source), E] broadcast of source features."""
+    return jnp.broadcast_to(x[:, None, :, :], (x.shape[0], x.shape[1], x.shape[1], x.shape[2]))

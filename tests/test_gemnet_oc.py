@@ -1,0 +1,137 @@
+"""GemNet-OC: shapes, invariance/equivariance, padding, grads, denoising heads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from adsorbdiff_tpu.models.gemnet_oc import GemNetOC, legendre_y_l0
+from tests.test_painn import make_batch
+
+TINY = dict(
+    num_spherical=4,
+    num_radial=12,
+    num_blocks=2,
+    emb_size_atom=32,
+    emb_size_edge=48,
+    emb_size_trip_in=12,
+    emb_size_trip_out=12,
+    emb_size_quad_in=8,
+    emb_size_quad_out=8,
+    emb_size_aint_in=12,
+    emb_size_aint_out=12,
+    emb_size_rbf=8,
+    emb_size_cbf=8,
+    emb_size_sbf=8,
+    num_before_skip=1,
+    num_after_skip=1,
+    num_concat=1,
+    num_atom=1,
+    num_output_afteratom=1,
+    num_atom_emb_layers=1,
+    num_global_out_layers=1,
+    cutoff=6.0,
+    cutoff_qint=6.0,
+    cutoff_aeaint=6.0,
+    cutoff_aint=6.0,
+    max_neighbors=12,
+    max_neighbors_qint=4,
+    max_neighbors_aeaint=8,
+    cell_reps=(1, 1, 0),
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = GemNetOC(**TINY)
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables
+
+
+def test_legendre_basis():
+    cos = jnp.asarray([-1.0, 0.0, 0.5, 1.0])
+    y = np.asarray(legendre_y_l0(cos, 4))
+    assert y.shape == (4, 4)
+    # P_0 = 1, P_1 = x, P_2 = (3x^2-1)/2 with Y_l0 normalization
+    np.testing.assert_allclose(y[:, 0], np.sqrt(1 / (4 * np.pi)), atol=1e-6)
+    np.testing.assert_allclose(y[2, 1], np.sqrt(3 / (4 * np.pi)) * 0.5, atol=1e-6)
+    np.testing.assert_allclose(y[2, 2], np.sqrt(5 / (4 * np.pi)) * (3 * 0.25 - 1) / 2, atol=1e-6)
+
+
+def test_forward_shapes_and_padding(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    out = model.apply(variables, batch)
+    assert out["energy"].shape == (2,)
+    assert out["forces"].shape == (2, 24, 3)
+    assert np.isfinite(np.asarray(out["energy"])).all()
+    assert np.abs(np.asarray(out["forces"])[:, 20:]).max() == 0  # padded rows zero
+
+
+def test_energy_invariance_forces_equivariance(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    out = model.apply(variables, batch)
+    r = jnp.asarray(Rotation.random(random_state=11).as_matrix().astype(np.float32))
+    rot = batch.replace(
+        pos=jnp.einsum("bnd,ed->bne", batch.pos, r),
+        cell=jnp.einsum("bnd,ed->bne", batch.cell, r),
+    )
+    out_r = model.apply(variables, rot)
+    np.testing.assert_allclose(np.asarray(out_r["energy"]), np.asarray(out["energy"]), rtol=2e-4, atol=2e-4)
+    want_f = np.einsum("bnd,ed->bne", np.asarray(out["forces"]), np.asarray(r))
+    np.testing.assert_allclose(np.asarray(out_r["forces"]), want_f, atol=5e-4)
+    # translation invariance
+    out_t = model.apply(variables, batch.replace(pos=batch.pos + jnp.asarray([1.0, -2.0, 0.7])))
+    np.testing.assert_allclose(np.asarray(out_t["energy"]), np.asarray(out["energy"]), rtol=2e-4, atol=2e-4)
+
+
+def test_padding_invariance(rng):
+    model = GemNetOC(**TINY)
+    rng1 = np.random.default_rng(7)
+    b24 = make_batch(rng1)
+    variables = model.init(jax.random.PRNGKey(1), b24)
+    rng1 = np.random.default_rng(9)
+    b24 = make_batch(rng1)
+    rng1 = np.random.default_rng(9)
+    b40 = make_batch(rng1, n_pad=40)
+    o24 = model.apply(variables, b24)
+    o40 = model.apply(variables, b40)
+    np.testing.assert_allclose(np.asarray(o40["energy"]), np.asarray(o24["energy"]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o40["forces"])[:, :24], np.asarray(o24["forces"]), atol=1e-4)
+
+
+def test_gradients_finite(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+
+    def loss(params):
+        out = model.apply({"params": params, "scale_factors": variables.get("scale_factors", {})}, batch)
+        return jnp.sum(out["energy"] ** 2) + jnp.sum(out["forces"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
+
+
+def test_denoising_mode_two_heads(rng):
+    model = GemNetOC(**TINY, mode="denoising", so3_denoising=True)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(2), batch)
+    f1, f2 = model.apply(variables, batch)
+    assert f1.shape == (2, 24, 3) and f2.shape == (2, 24, 3)
+    assert np.abs(np.asarray(f1) - np.asarray(f2)).max() > 1e-8  # distinct heads
+
+
+def test_interactions_toggle(rng):
+    """All-off vs all-on changes outputs; both run."""
+    batch = make_batch(rng)
+    base = dict(TINY)
+    m_off = GemNetOC(**base, quad_interaction=False, atom_edge_interaction=False,
+                     edge_atom_interaction=False, atom_interaction=False)
+    v_off = m_off.init(jax.random.PRNGKey(3), batch)
+    out_off = m_off.apply(v_off, batch)
+    assert np.isfinite(np.asarray(out_off["energy"])).all()
