@@ -1,0 +1,230 @@
+"""SO(3) machinery for EquiformerV2: real spherical harmonics, Wigner-D
+matrices, S^2 grids, coefficient layouts.
+
+Rebuild of the reference's e3nn-based SO(3) core (ref: adsorbdiff/models/
+equiformer_v2/so3.py:30-748, wigner.py:8-43) WITHOUT e3nn or the shipped
+``Jd.pt`` asset (flagged in SURVEY.md §7 hard-part 4):
+
+- real spherical harmonics come from scipy (host-side, used only to build
+  static tables);
+- the fixed change-of-frame matrix ``J_l = D_l(Q)`` (Q = rotation taking the
+  z-axis onto the y-axis) is solved ONCE numerically by least squares from
+  ``Y(Q v) = J Y(v)`` — exact to f64 roundoff — replacing the opaque Jd.pt;
+- runtime Wigner-D is the jit-friendly composition
+  ``D(R) = Dz(alpha) @ J @ Dz(beta) @ J^T @ Dz(gamma)`` with analytic
+  z-rotations (block-diagonal cos/sin in the +-m pairs), zyz Euler angles
+  extracted from R with degeneracy-safe atan2;
+- S^2 grids use Gauss-Legendre beta nodes x uniform alpha so that
+  from_grid @ to_grid == identity exactly for bandlimited signals
+  (the e3nn ToS2Grid/FromS2Grid contract, ref: so3.py:534-643).
+
+Convention: z-up physics real SH, coefficient order within l is m=-l..l,
+flattened over l as one [(lmax+1)^2] axis.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+try:  # scipy >= 1.15 renamed sph_harm (and swapped angle arguments)
+    from scipy.special import sph_harm_y as _sph_harm_y
+
+    def _sph_harm(m, l, phi, theta):
+        return _sph_harm_y(l, m, theta, phi)
+
+except ImportError:  # pragma: no cover
+    from scipy.special import sph_harm as _sph_harm_legacy
+
+    def _sph_harm(m, l, phi, theta):
+        return _sph_harm_legacy(m, l, phi, theta)
+
+
+# ------------------------------------------------------------------ host side
+def real_sph_harm(lmax: int, vecs: np.ndarray) -> np.ndarray:
+    """Real SH values Y[(l,m), point] for unit vectors [P, 3] (z-up,
+    Condon-Shortley absorbed: m>0 ~ sqrt2 (-1)^m Re Y_l^m, m<0 ~ sqrt2 (-1)^m Im Y_l^|m|)."""
+    vecs = np.asarray(vecs, np.float64)
+    theta = np.arccos(np.clip(vecs[:, 2], -1, 1))  # polar from +z
+    phi = np.arctan2(vecs[:, 1], vecs[:, 0])
+    out = np.zeros(((lmax + 1) ** 2, len(vecs)))
+    for l in range(lmax + 1):
+        for m in range(-l, l + 1):
+            idx = l * l + l + m
+            y = _sph_harm(abs(m), l, phi, theta)  # (order m, degree l, azimuth, polar)
+            if m > 0:
+                out[idx] = math.sqrt(2.0) * (-1) ** m * y.real
+            elif m < 0:
+                out[idx] = math.sqrt(2.0) * (-1) ** m * y.imag
+            else:
+                out[idx] = y.real
+    return out
+
+
+def _rotation_matrix_to_D(lmax: int, rot: np.ndarray) -> np.ndarray:
+    """Numerical block-diag D(R): solve Y(R v) = D Y(v) by least squares."""
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(4 * (lmax + 1) ** 2 + 16, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    y = real_sph_harm(lmax, pts)  # [(L)^2, P]
+    y_rot = real_sph_harm(lmax, pts @ rot.T)
+    d = np.zeros(((lmax + 1) ** 2, (lmax + 1) ** 2))
+    for l in range(lmax + 1):
+        sl = slice(l * l, (l + 1) * (l + 1))
+        d[sl, sl] = np.linalg.lstsq(y[sl].T, y_rot[sl].T, rcond=None)[0].T
+    return d
+
+
+@functools.lru_cache(maxsize=8)
+def get_J_matrix(lmax: int) -> np.ndarray:
+    """J = D(Q) for Q = R_x(-pi/2) (maps z-axis onto y-axis), block-diag
+    [(L)^2, (L)^2] — the Jd.pt replacement."""
+    q = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0]])  # R_x(-pi/2): z -> +y
+    return _rotation_matrix_to_D(lmax, q)
+
+
+@functools.lru_cache(maxsize=8)
+def _zrot_indices(lmax: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Static index/coefficient tables for the analytic z-rotation.
+
+    In the real basis, R_z(t) acts on each (l, +-m) pair as
+      [[cos mt, -s sin mt], [s sin mt, cos mt]]  (sign s fixed numerically).
+    We encode Dz(t) = C(t-dependent cos part) + S(sin part) with static
+    scatter structure: diag cos(m_diag * t) plus antidiag sin entries.
+    """
+    dim = (lmax + 1) ** 2
+    m_diag = np.zeros(dim)
+    pair_i, pair_j, pair_m = [], [], []
+    for l in range(lmax + 1):
+        for m in range(-l, l + 1):
+            idx = l * l + l + m
+            m_diag[idx] = abs(m)
+            if m > 0:
+                i_pos, i_neg = l * l + l + m, l * l + l - m
+                pair_i.append(i_pos)
+                pair_j.append(i_neg)
+                pair_m.append(m)
+    # determine the sin sign numerically once
+    t = 0.3
+    rz = np.array([[np.cos(t), -np.sin(t), 0], [np.sin(t), np.cos(t), 0], [0, 0, 1.0]])
+    d = _rotation_matrix_to_D(lmax, rz)
+    signs = []
+    for i, j, m in zip(pair_i, pair_j, pair_m):
+        signs.append(np.sign(d[i, j] / np.sin(m * t)))
+    return m_diag, np.asarray(pair_i), np.asarray(pair_j), np.asarray(signs) * np.asarray(pair_m)
+
+
+# ------------------------------------------------------------------ jit side
+def z_rot_D(lmax: int, angle: jnp.ndarray) -> jnp.ndarray:
+    """Analytic Dz(angle) [..., (L)^2, (L)^2], jit-friendly."""
+    m_diag, pi, pj, signed_m = _zrot_indices(lmax)
+    dim = (lmax + 1) ** 2
+    cos_part = jnp.cos(angle[..., None] * jnp.asarray(m_diag))  # [..., dim]
+    d = jnp.zeros(angle.shape + (dim, dim))
+    d = d + jnp.eye(dim) * cos_part[..., None, :]  # diagonal cos(m t)
+    sin_vals = jnp.sin(angle[..., None] * jnp.abs(jnp.asarray(signed_m, jnp.float32)))
+    sin_vals = sin_vals * jnp.sign(jnp.asarray(signed_m, jnp.float32))
+    d = d.at[..., pi, pj].add(sin_vals)
+    d = d.at[..., pj, pi].add(-sin_vals)
+    return d
+
+
+def euler_zyz(rot: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """zyz Euler angles with R = Rz(alpha) Ry(beta) Rz(gamma), beta in [0, pi];
+    degeneracy-safe at beta ~ {0, pi} (gamma folded into alpha)."""
+    beta = jnp.arccos(jnp.clip(rot[..., 2, 2], -1.0, 1.0))
+    degenerate = jnp.abs(jnp.abs(rot[..., 2, 2]) - 1.0) < 1e-6
+    alpha = jnp.where(
+        degenerate,
+        jnp.arctan2(rot[..., 1, 0], rot[..., 0, 0]),
+        jnp.arctan2(rot[..., 1, 2], rot[..., 0, 2]),
+    )
+    gamma = jnp.where(degenerate, 0.0, jnp.arctan2(rot[..., 2, 1], -rot[..., 2, 0]))
+    return alpha, beta, gamma
+
+
+def wigner_D_from_rot(lmax: int, rot: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal real Wigner-D [..., (L)^2, (L)^2] from rotation matrices.
+
+    D(R) = Dz(alpha) J Dz(beta) J^T Dz(gamma)  (ref contract: wigner.py:16-43,
+    so3.py RotationToWignerDMatrix :509-533 — built here without e3nn).
+    """
+    j = jnp.asarray(get_J_matrix(lmax), jnp.float32)
+    alpha, beta, gamma = euler_zyz(rot)
+    da = z_rot_D(lmax, alpha)
+    db = z_rot_D(lmax, beta)
+    dg = z_rot_D(lmax, gamma)
+    return da @ (j @ (db @ (j.T @ dg)))
+
+
+def edge_frame_rotation(unit: jnp.ndarray) -> jnp.ndarray:
+    """Rotation R with R @ u = e_z (rows form an orthonormal frame).
+
+    Deterministic replacement for the reference's random-perpendicular edge
+    frame (ref: equiformer_v2/edge_rot_mat.py:6-60) — the SO(2) structure is
+    invariant to the in-plane gauge, so determinism costs nothing and buys
+    reproducibility.
+    """
+    u = unit
+    near_x = jnp.abs(u[..., 0:1]) > 0.9
+    ref = jnp.where(near_x, jnp.asarray([0.0, 1.0, 0.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    v1 = jnp.cross(u, ref)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-9)
+    v2 = jnp.cross(u, v1)
+    return jnp.stack([v1, v2, u], axis=-2)  # rows: maps u -> e_z
+
+
+# ------------------------------------------------------------------ layouts
+@functools.lru_cache(maxsize=8)
+def m_index_tables(lmax: int, mmax: int):
+    """Static coefficient-index tables for SO(2) convs in the edge frame.
+
+    Returns (idx_m0 [n0], idx_pos [list per m], idx_neg [list per m],
+    mmax_mask [(L)^2]).
+    """
+    idx_m0 = np.asarray([l * l + l for l in range(lmax + 1)])
+    idx_pos = [np.asarray([l * l + l + m for l in range(m, lmax + 1)]) for m in range(1, mmax + 1)]
+    idx_neg = [np.asarray([l * l + l - m for l in range(m, lmax + 1)]) for m in range(1, mmax + 1)]
+    mask = np.zeros((lmax + 1) ** 2, bool)
+    for l in range(lmax + 1):
+        for m in range(-min(l, mmax), min(l, mmax) + 1):
+            mask[l * l + l + m] = True
+    return idx_m0, idx_pos, idx_neg, mask
+
+
+@functools.lru_cache(maxsize=8)
+def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(to_grid [G, (L)^2], from_grid [(L)^2, G]) with from @ to == I.
+
+    Gauss-Legendre nodes in cos(beta) x uniform alpha (ref contract:
+    SO3_Grid via e3nn ToS2Grid/FromS2Grid, so3.py:534-643).
+    """
+    x_gl, w_gl = np.polynomial.legendre.leggauss(res_beta)
+    alphas = np.linspace(0, 2 * np.pi, res_alpha, endpoint=False)
+    ct = x_gl  # cos(beta)
+    st = np.sqrt(1 - ct**2)
+    pts = np.stack(
+        [
+            np.outer(st, np.cos(alphas)).ravel(),
+            np.outer(st, np.sin(alphas)).ravel(),
+            np.outer(ct, np.ones_like(alphas)).ravel(),
+        ],
+        axis=-1,
+    )
+    y = real_sph_harm(lmax, pts)  # [(L)^2, G]
+    w = (np.outer(w_gl, np.ones_like(alphas)) * (2 * np.pi / res_alpha)).ravel()
+    to_grid = y.T
+    from_grid = y * w  # quadrature: integral of Y_i Y_j over S^2 = delta_ij
+    return to_grid.astype(np.float32), from_grid.astype(np.float32)
+
+
+def l1_coeffs_to_vector(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Real-SH l=1 coefficients (m=-1,0,1) -> cartesian vector.
+
+    With our convention Y_{1,-1} ~ y, Y_{1,0} ~ z, Y_{1,1} ~ x (up to one
+    common constant, which a learned head absorbs); signs verified by the
+    equivariance tests.
+    """
+    return jnp.stack([coeffs[..., 2], coeffs[..., 0], coeffs[..., 1]], axis=-1)

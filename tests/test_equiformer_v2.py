@@ -1,0 +1,122 @@
+"""EquiformerV2: shapes, equivariance, padding, conditioning, s2ef mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+from tests.test_painn import make_batch
+
+TINY = dict(
+    num_layers=2,
+    sphere_channels=16,
+    attn_hidden_channels=16,
+    num_heads=2,
+    attn_alpha_channels=8,
+    attn_value_channels=4,
+    ffn_hidden_channels=16,
+    lmax=2,
+    mmax=1,
+    # res >= ~2.5x lmax keeps S2-grid aliasing (the only approximate-equivariance
+    # source, same class as the reference's e3nn grids) below f32 noise
+    grid_resolution=16,
+    edge_channels=16,
+    num_distance_basis=16,
+    cutoff=6.0,
+    max_neighbors=12,
+    cell_reps=(1, 1, 0),
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True)
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables
+
+
+def test_forward_shapes(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    f1, f2 = model.apply(variables, batch)
+    assert f1.shape == (2, 24, 3) and f2.shape == (2, 24, 3)
+    assert np.isfinite(np.asarray(f1)).all()
+    assert np.abs(np.asarray(f1)[:, 20:]).max() == 0
+    assert np.abs(np.asarray(f1) - np.asarray(f2)).max() > 1e-9
+
+
+def test_rotation_equivariance(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    f1, f2 = model.apply(variables, batch)
+    r = jnp.asarray(Rotation.random(random_state=12).as_matrix().astype(np.float32))
+    rot = batch.replace(
+        pos=jnp.einsum("bnd,ed->bne", batch.pos, r),
+        cell=jnp.einsum("bnd,ed->bne", batch.cell, r),
+    )
+    g1, g2 = model.apply(variables, rot)
+    np.testing.assert_allclose(np.asarray(g1), np.einsum("bnd,ed->bne", np.asarray(f1), np.asarray(r)), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.einsum("bnd,ed->bne", np.asarray(f2), np.asarray(r)), atol=3e-4)
+
+
+def test_translation_invariance(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    f1, _ = model.apply(variables, batch)
+    g1, _ = model.apply(variables, batch.replace(pos=batch.pos + jnp.asarray([0.9, -1.7, 2.2])))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(f1), atol=3e-4)
+
+
+def test_padding_invariance(rng):
+    model = EquiformerV2(**TINY, so3_denoising=False, for_denoising=False)
+    rng1 = np.random.default_rng(7)
+    b24 = make_batch(rng1)
+    variables = model.init(jax.random.PRNGKey(1), b24)
+    rng1 = np.random.default_rng(9)
+    b24 = make_batch(rng1)
+    rng1 = np.random.default_rng(9)
+    b40 = make_batch(rng1, n_pad=40)
+    f24 = model.apply(variables, b24)
+    f40 = model.apply(variables, b40)
+    np.testing.assert_allclose(np.asarray(f40)[:, :24], np.asarray(f24), atol=2e-4)
+
+
+def test_s2ef_mode(rng):
+    model = EquiformerV2(**TINY, mode="s2ef")
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(2), batch)
+    out = model.apply(variables, batch)
+    assert out["energy"].shape == (2,)
+    r = jnp.asarray(Rotation.random(random_state=5).as_matrix().astype(np.float32))
+    rot = batch.replace(pos=jnp.einsum("bnd,ed->bne", batch.pos, r), cell=jnp.einsum("bnd,ed->bne", batch.cell, r))
+    out_r = model.apply(variables, rot)
+    np.testing.assert_allclose(np.asarray(out_r["energy"]), np.asarray(out["energy"]), rtol=1e-4, atol=1e-4)
+
+
+def test_energy_conditioning(rng):
+    model = EquiformerV2(**TINY, so3_denoising=False, for_denoising=False, energy_encoding="scalar")
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(4), batch)
+    f_a = model.apply(variables, batch)
+    f_b = model.apply(variables, batch.replace(energy=batch.energy + 2.0))
+    assert np.abs(np.asarray(f_a) - np.asarray(f_b)).max() > 1e-7
+    model_s = EquiformerV2(**TINY, so3_denoising=False, for_denoising=False,
+                           energy_encoding="scalar", sampling=True)
+    f_c = model_s.apply(variables, batch)
+    f_d = model_s.apply(variables, batch.replace(energy=batch.energy + 2.0))
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=0)
+
+
+def test_gradients_finite(model_and_params, rng):
+    model, variables = model_and_params
+    batch = make_batch(rng)
+
+    def loss(params):
+        f1, f2 = model.apply({"params": params}, batch)
+        return jnp.sum(f1**2) + jnp.sum(f2**2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

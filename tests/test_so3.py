@@ -1,0 +1,103 @@
+"""SO(3) core: Wigner-D correctness, grids, edge frames, layouts."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from adsorbdiff_tpu.models.so3 import (
+    _rotation_matrix_to_D,
+    edge_frame_rotation,
+    l1_coeffs_to_vector,
+    m_index_tables,
+    real_sph_harm,
+    s2_grid_matrices,
+    wigner_D_from_rot,
+    z_rot_D,
+)
+
+LMAX = 4
+
+
+def test_real_sph_harm_orthonormal():
+    # Monte-Carlo orthonormality sanity on l<=2
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    y = real_sph_harm(2, pts)
+    gram = (y @ y.T) / pts.shape[0] * 4 * np.pi
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_wigner_D_matches_lstsq(seed):
+    r = Rotation.random(random_state=seed).as_matrix()
+    want = _rotation_matrix_to_D(LMAX, r)
+    got = np.asarray(wigner_D_from_rot(LMAX, jnp.asarray(r, jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_wigner_D_is_representation():
+    r1 = Rotation.random(random_state=3).as_matrix()
+    r2 = Rotation.random(random_state=4).as_matrix()
+    d1 = np.asarray(wigner_D_from_rot(LMAX, jnp.asarray(r1, jnp.float32)))
+    d2 = np.asarray(wigner_D_from_rot(LMAX, jnp.asarray(r2, jnp.float32)))
+    d12 = np.asarray(wigner_D_from_rot(LMAX, jnp.asarray(r1 @ r2, jnp.float32)))
+    np.testing.assert_allclose(d1 @ d2, d12, atol=1e-4)
+    # orthogonality
+    np.testing.assert_allclose(d1 @ d1.T, np.eye(d1.shape[0]), atol=1e-4)
+
+
+def test_wigner_D_transforms_sh():
+    """Y(R v) == D(R) Y(v) — the defining property."""
+    rng = np.random.default_rng(5)
+    r = Rotation.random(random_state=6).as_matrix()
+    pts = rng.normal(size=(50, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    y = real_sph_harm(LMAX, pts)
+    y_rot = real_sph_harm(LMAX, pts @ r.T)
+    d = np.asarray(wigner_D_from_rot(LMAX, jnp.asarray(r, jnp.float32)))
+    np.testing.assert_allclose(d @ y, y_rot, atol=5e-5)
+
+
+def test_z_rot_batched():
+    angles = jnp.asarray([0.0, 0.7, -2.1])
+    d = np.asarray(z_rot_D(2, angles))
+    assert d.shape == (3, 9, 9)
+    np.testing.assert_allclose(d[0], np.eye(9), atol=1e-6)
+    rz = Rotation.from_euler("z", 0.7).as_matrix()
+    want = _rotation_matrix_to_D(2, rz)
+    np.testing.assert_allclose(d[1], want, atol=1e-5)
+
+
+def test_edge_frame_maps_to_z(rng):
+    u = rng.normal(size=(40, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = np.asarray(edge_frame_rotation(jnp.asarray(u, jnp.float32)))
+    out = np.einsum("nij,nj->ni", r, u)
+    np.testing.assert_allclose(out, np.tile([0, 0, 1.0], (40, 1)), atol=1e-5)
+    # orthonormal
+    np.testing.assert_allclose(np.einsum("nij,nkj->nik", r, r), np.tile(np.eye(3), (40, 1, 1)), atol=1e-5)
+
+
+def test_s2_grid_roundtrip():
+    to_grid, from_grid = s2_grid_matrices(LMAX, 18, 18)
+    eye = from_grid @ to_grid
+    np.testing.assert_allclose(eye, np.eye((LMAX + 1) ** 2), atol=1e-5)
+
+
+def test_m_index_tables():
+    idx0, pos, neg, mask = m_index_tables(4, 2)
+    assert list(idx0) == [0, 2, 6, 12, 20]
+    assert mask.sum() == sum(2 * min(l, 2) + 1 for l in range(5))
+    assert list(pos[1]) == [l * l + l + 2 for l in range(2, 5)]
+
+
+def test_l1_coeffs_vector_equivariance():
+    """rotating coeffs by D(R) must rotate the extracted vector by R."""
+    rng = np.random.default_rng(8)
+    r = Rotation.random(random_state=9).as_matrix()
+    c = rng.normal(size=3)
+    d = np.asarray(wigner_D_from_rot(1, jnp.asarray(r, jnp.float32)))[1:4, 1:4]
+    v = np.asarray(l1_coeffs_to_vector(jnp.asarray(c, jnp.float32)))
+    v_rot = np.asarray(l1_coeffs_to_vector(jnp.asarray(d @ c, jnp.float32)))
+    np.testing.assert_allclose(v_rot, r @ v, atol=1e-5)
