@@ -88,12 +88,17 @@ class BucketedBatcher:
         return len(self._plan())
 
     def __iter__(self) -> Iterator[AtomsBatch]:
+        native = hasattr(self.dataset, "collate_indices")
         for edge, chunk in self._plan():
-            systems = [self.dataset[int(i)] for i in chunk]
             # Repeat the tail system so the batch axis stays static; repeats
             # carry the same sid and are deduped at result-gather time, the
             # same contract as the reference's DistributedSampler padding
             # (ref: trainers/base_trainer.py:869-878).
-            while len(systems) < self.batch_size:
-                systems.append(systems[-1])
-            yield collate(systems, max_atoms=edge, with_forces=self.with_forces)
+            idx = [int(i) for i in chunk]
+            while len(idx) < self.batch_size:
+                idx.append(idx[-1])
+            if native:
+                yield self.dataset.collate_indices(idx, max_atoms=edge, with_forces=self.with_forces)
+            else:
+                systems = [self.dataset[i] for i in idx]
+                yield collate(systems, max_atoms=edge, with_forces=self.with_forces)

@@ -55,6 +55,7 @@ class PaiNNMessage(nn.Module):
 
     hidden_channels: int
     num_rbf: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -70,11 +71,11 @@ class PaiNNMessage(nn.Module):
         inv_sqrt_h = 1 / math.sqrt(h)
 
         xh = nn.LayerNorm()(x)
-        xh = nn.Dense(h)(xh)
+        xh = nn.Dense(h, dtype=self.dtype)(xh)
         xh = scaled_silu(xh)
-        xh = nn.Dense(3 * h)(xh)  # [B, N, 3H]
+        xh = nn.Dense(3 * h, dtype=self.dtype)(xh)  # [B, N, 3H]
 
-        rbfh = nn.Dense(3 * h)(edge_rbf)  # [B, N, K, 3H]
+        rbfh = nn.Dense(3 * h, dtype=self.dtype)(edge_rbf)  # [B, N, K, 3H]
         # Zero invalid edges here: the raw RBF of a padded (dist=0) slot is
         # NOT zero, so masking the filter is what keeps padding silent.
         rbfh = jnp.where(nl.mask[..., None], rbfh, 0.0)
@@ -91,18 +92,21 @@ class PaiNNMessage(nn.Module):
         # directional term: sum_k unit[b,i,k,d] * g3[b,i,k,h] -> [B, N, 3, H]
         dvec = jnp.einsum("bnkd,bnkh->bndh", edge_unit, g3)
         # vector-gather term, one cartesian component at a time to keep the
-        # peak intermediate at [B, N, K, H]
-        for d in range(3):
-            vj_d = _gather_nodes(vec[:, :, d, :], nl.src)  # [B, N, K, H]
-            dvec = dvec.at[:, :, d, :].add(jnp.sum(vj_d * g2, axis=2))
+        # peak intermediate at [B, N, K, H]; stacked (not scattered) so XLA
+        # sees a pure dataflow graph in a single dtype
+        dvec = dvec + jnp.stack(
+            [jnp.sum(_gather_nodes(vec[:, :, d, :], nl.src) * g2, axis=2) for d in range(3)],
+            axis=2,
+        )
         dvec = dvec * inv_sqrt_h
-        return dx, dvec
+        return dx.astype(x.dtype), dvec.astype(x.dtype)
 
 
 class PaiNNUpdate(nn.Module):
     """Node update block (ref: painn_denoising.py:575-623)."""
 
     hidden_channels: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, vec: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -110,7 +114,7 @@ class PaiNNUpdate(nn.Module):
         inv_sqrt_2 = 1 / math.sqrt(2.0)
         inv_sqrt_h = 1 / math.sqrt(h)
 
-        vec12 = nn.Dense(2 * h, use_bias=False)(vec)  # [B, N, 3, 2H]
+        vec12 = nn.Dense(2 * h, use_bias=False, dtype=self.dtype)(vec)  # [B, N, 3, 2H]
         vec1, vec2 = jnp.split(vec12, 2, axis=-1)
         vec_dot = jnp.sum(vec1 * vec2, axis=-2) * inv_sqrt_h  # [B, N, H]
 
@@ -118,14 +122,14 @@ class PaiNNUpdate(nn.Module):
         # (ref: painn_denoising.py:607-612)
         vec2_norm = jnp.sqrt(jnp.sum(vec2**2, axis=-2) + 1e-8)
         xvec = jnp.concatenate([x, vec2_norm], axis=-1)
-        xvec = nn.Dense(h)(xvec)
+        xvec = nn.Dense(h, dtype=self.dtype)(xvec)
         xvec = scaled_silu(xvec)
-        xvec = nn.Dense(3 * h)(xvec)
+        xvec = nn.Dense(3 * h, dtype=self.dtype)(xvec)
         xvec1, xvec2, xvec3 = jnp.split(xvec, 3, axis=-1)
 
         dx = (xvec1 + xvec2 * vec_dot) * inv_sqrt_2
         dvec = xvec3[:, :, None, :] * vec1
-        return dx, dvec
+        return dx.astype(x.dtype), dvec.astype(x.dtype)
 
 
 class GatedEquivariantBlock(nn.Module):
@@ -194,6 +198,8 @@ class PaiNN(nn.Module):
     sampling: bool = False
     tag_based_z: bool = False
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16": message/update
+    # matmuls and edge tensors in bf16 (params + heads stay f32)
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
@@ -223,17 +229,27 @@ class PaiNN(nn.Module):
             x = x + e_emb[:, None, :]
         vec = jnp.zeros(x.shape[:2] + (3, self.hidden_channels), x.dtype)
 
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        if cdt is not None:
+            x = x.astype(cdt)
+            vec = vec.astype(cdt)
+            edge_rbf = edge_rbf.astype(cdt)
+            edge_unit = edge_unit.astype(cdt)
+
         inv_sqrt_2 = 1 / math.sqrt(2.0)
         for i in range(self.num_layers):
-            dx, dvec = PaiNNMessage(self.hidden_channels, self.num_rbf, name=f"message_{i}")(
+            dx, dvec = PaiNNMessage(self.hidden_channels, self.num_rbf, dtype=cdt, name=f"message_{i}")(
                 x, vec, nl, edge_rbf, edge_unit
             )
             x = (x + dx) * inv_sqrt_2
             vec = vec + dvec
-            dx, dvec = PaiNNUpdate(self.hidden_channels, name=f"update_{i}")(x, vec)
+            dx, dvec = PaiNNUpdate(self.hidden_channels, dtype=cdt, name=f"update_{i}")(x, vec)
             x = x + dx
             vec = vec + dvec
             x = ScaleFactor(name=f"upd_out_scalar_scale_{i}")(x)
+
+        x = x.astype(jnp.float32)
+        vec = vec.astype(jnp.float32)
 
         if self.mode == "s2ef":
             per_atom_e = nn.Dense(self.hidden_channels // 2, name="out_energy_0")(x)

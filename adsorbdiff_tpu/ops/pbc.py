@@ -88,6 +88,30 @@ def compute_cell_reps(cell: np.ndarray, radius: float, pbc: Sequence[bool] = (Tr
     return tuple(reps)  # type: ignore[return-value]
 
 
+def _two_stage_top_k(x: jnp.ndarray, k: int, chunk: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last axis via per-chunk top-k + merge.
+
+    Equivalent to ``jax.lax.top_k(x, k)`` (largest first) but much faster when
+    the candidate axis is long: each chunk keeps at most k survivors, so the
+    final sort runs over ``ceil(L/chunk) * k`` instead of ``L`` elements.
+    """
+    l = x.shape[-1]
+    if l <= max(2 * k, chunk):
+        return jax.lax.top_k(x, k)
+    g = -(-l // chunk)
+    pad = g * chunk - l
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=-jnp.inf)
+    xc = x.reshape(x.shape[:-1] + (g, chunk))
+    vals, idx = jax.lax.top_k(xc, min(k, chunk))  # [..., G, k]
+    base = (jnp.arange(g) * chunk)[:, None]
+    idx = idx + base
+    vals = vals.reshape(vals.shape[:-2] + (-1,))
+    idx = idx.reshape(idx.shape[:-2] + (-1,))
+    top_vals, sel = jax.lax.top_k(vals, k)
+    return top_vals, jnp.take_along_axis(idx, sel, axis=-1)
+
+
 def _offset_grid(reps: Tuple[int, int, int]) -> np.ndarray:
     """Integer offset lattice [-r, r]^3 -> [C, 3] (ref: utils.py:664-669)."""
     axes = [np.arange(-r, r + 1, dtype=np.int32) for r in reps]
@@ -142,7 +166,10 @@ def radius_graph_pbc(
     d2_flat = jnp.where(valid, d2, big).reshape(n, n * c)
 
     # K nearest periodic images per target atom (strict cap; see module doc).
-    neg_top, flat_idx = jax.lax.top_k(-d2_flat, k)  # [N, K]
+    # XLA's top_k degrades to a full sort over the candidate axis; for the
+    # typical n*c of several thousand a two-stage exact top-k (per-chunk
+    # top-k, then top-k over the survivors) is several times faster on TPU.
+    neg_top, flat_idx = _two_stage_top_k(-d2_flat, k)  # [N, K]
     src = (flat_idx // c).astype(jnp.int32)
     img = flat_idx % c
     mask = (-neg_top) < big  # only in-radius, valid candidates survive

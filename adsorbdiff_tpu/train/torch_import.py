@@ -1,0 +1,117 @@
+"""Import reference torch checkpoints into our parameter pytrees.
+
+The reference ships torch ``state_dict`` checkpoints (PT_zeroshot_painn.pt
+etc., ref: README.md:55-63; saved as {state_dict, ema, config, ...} by
+base_trainer.py:625-684 with DDP ``module.``-prefix quirks :476-495).  This
+module maps a PaiNN state_dict's tensors onto our flax parameter tree.
+
+Caveats (documented, by design):
+- our PaiNN is a TPU-first re-design, not a weight-port; layer shapes match
+  the reference trunk (Dense kernels transpose), but graph construction
+  differs (strict top-K, no edge symmetrization), so imported weights
+  reproduce the reference approximately, not bit-exactly;
+- works from a raw dict of numpy arrays too, so it's testable without torch.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _strip_prefixes(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Drop DDP 'module.' prefixes (ref: base_trainer.py:476-495) and convert
+    tensors to numpy."""
+    out = {}
+    for k, v in sd.items():
+        while k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file -> flat numpy state_dict (requires torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return _strip_prefixes(sd)
+
+
+def painn_state_dict_to_params(sd: Dict[str, np.ndarray], num_layers: int = 6) -> Dict[str, Any]:
+    """Map a reference PaiNN(-denoising) state_dict onto our flax param tree.
+
+    Name map (ref: models/painn/painn_denoising.py):
+      atom_emb.embeddings.weight            -> AtomEmbedding_0/embeddings
+      message_layers.i.{x_proj.0,x_proj.2,rbf_proj,x_layernorm}
+                                            -> message_i/{Dense_0,Dense_1,Dense_2,LayerNorm_0}
+      update_layers.i.{vec_proj,xvec_proj.0,xvec_proj.2}
+                                            -> update_i/{Dense_0,Dense_1,Dense_2}
+      out_forces(.2)?.output_network.j.*    -> out_forces(2)/GatedEquivariantBlock_j/*
+    torch Linear stores [out, in]; flax Dense kernels are [in, out].
+    """
+    sd = _strip_prefixes(sd)
+
+    def lin(name, dest, params, bias=True):
+        params[dest] = {"kernel": sd[name + ".weight"].T}
+        if bias and name + ".bias" in sd:
+            params[dest]["bias"] = sd[name + ".bias"]
+
+    params: Dict[str, Any] = {"AtomEmbedding_0": {"embeddings": sd["atom_emb.embeddings.weight"]}}
+
+    for i in range(num_layers):
+        msg: Dict[str, Any] = {}
+        msg["LayerNorm_0"] = {
+            "scale": sd[f"message_layers.{i}.x_layernorm.weight"],
+            "bias": sd[f"message_layers.{i}.x_layernorm.bias"],
+        }
+        lin(f"message_layers.{i}.x_proj.0", "Dense_0", msg)
+        lin(f"message_layers.{i}.x_proj.2", "Dense_1", msg)
+        lin(f"message_layers.{i}.rbf_proj", "Dense_2", msg)
+        params[f"message_{i}"] = msg
+
+        upd: Dict[str, Any] = {}
+        lin(f"update_layers.{i}.vec_proj", "Dense_0", upd, bias=False)
+        lin(f"update_layers.{i}.xvec_proj.0", "Dense_1", upd)
+        lin(f"update_layers.{i}.xvec_proj.2", "Dense_2", upd)
+        params[f"update_{i}"] = upd
+
+    def gated_block(src_prefix: str) -> Dict[str, Any]:
+        blk: Dict[str, Any] = {}
+        lin(src_prefix + ".vec1_proj", "Dense_0", blk, bias=False)
+        lin(src_prefix + ".vec2_proj", "Dense_1", blk, bias=False)
+        lin(src_prefix + ".update_net.0", "Dense_2", blk)
+        lin(src_prefix + ".update_net.2", "Dense_3", blk)
+        return blk
+
+    for head_src, head_dst in (("out_forces", "out_forces"), ("out_forces2", "out_forces2")):
+        if f"{head_src}.output_network.0.vec1_proj.weight" in sd:
+            params[head_dst] = {
+                f"GatedEquivariantBlock_{j}": gated_block(f"{head_src}.output_network.{j}") for j in range(2)
+            }
+
+    if "energy_embedding.weight" in sd:
+        params["energy_embedding"] = {
+            "kernel": sd["energy_embedding.weight"].T,
+            "bias": sd["energy_embedding.bias"],
+        }
+
+    scale_factors = {}
+    for i in range(num_layers):
+        key = f"upd_out_scalar_scale_{i}.scale_factor"
+        if key in sd:
+            scale_factors[f"upd_out_scalar_scale_{i}"] = {"scale": sd[key].reshape(())}
+
+    imported = sum(1 for _ in _iter_leaves(params))
+    logging.info(f"imported {imported} PaiNN tensors from torch state_dict")
+    return {"params": params, "scale_factors": scale_factors}
+
+
+def _iter_leaves(d):
+    for v in d.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v

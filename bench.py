@@ -51,7 +51,10 @@ def main() -> None:
         systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags, fixed=tags == 0, sid=i))
     batch = collate(systems, max_atoms=n_pad)
 
-    model = PaiNN(sampling=True)  # published hparams, conditioning zeroed
+    # bf16 message passing: the edge tensors are the HBM-bandwidth bottleneck.
+    # cell_reps (2,2,0): the 23 A z-vacuum exceeds the cutoff, so z-images
+    # can never be neighbors — identical physics, 3x fewer graph candidates.
+    model = PaiNN(sampling=True, compute_dtype="bfloat16", cell_reps=(2, 2, 0))
     variables = model.init(jax.random.PRNGKey(0), batch)
 
     def score_fn(cur):
@@ -62,16 +65,23 @@ def main() -> None:
     params = dict(num_steps=100, ads_std_low=0.1, ads_std_high=10.0, rot_std_low=0.01, rot_std_high=1.55, ode=True)
     sample = jax.jit(lambda b, k: reverse_diffusion(score_fn, b, params, k))
 
-    # compile + warm
+    # compile + warm; NOTE on timing: through the remote-TPU tunnel,
+    # block_until_ready does not reliably fence execution, so reps are chained
+    # through a data dependency and fenced with ONE device_get readback.
     res = sample(batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(res.traj_pos)
+    _ = jax.device_get(res.batch.pos[0, 0])
 
-    reps = 5
-    t0 = time.perf_counter()
-    for i in range(reps):
-        res = sample(batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(res.traj_pos)
-    dt = (time.perf_counter() - t0) / reps
+    def run(reps: int) -> float:
+        b = batch
+        t0 = time.perf_counter()
+        for i in range(reps):
+            res = sample(b, jax.random.PRNGKey(2 + i))
+            b = b.replace(pos=res.batch.pos)  # chain dependency
+        _ = jax.device_get(b.pos[0, 0])
+        return time.perf_counter() - t0
+
+    t1, t6 = run(1), run(6)
+    dt = (t6 - t1) / 5  # per-rep cost net of the readback round-trip
 
     assert np.isfinite(np.asarray(res.batch.pos)).all()
     system_steps_per_sec = params["num_steps"] * batch_size / dt
