@@ -80,20 +80,18 @@ class PaiNNMessage(nn.Module):
         # NOT zero, so masking the filter is what keeps padding silent.
         rbfh = jnp.where(nl.mask[..., None], rbfh, 0.0)
 
-        xh1, xh2, xh3 = jnp.split(xh, 3, axis=-1)
-        w1, w2, w3 = jnp.split(rbfh, 3, axis=-1)
-
-        g1 = _gather_nodes(xh1, nl.src) * w1  # [B, N, K, H]
-        g2 = _gather_nodes(xh2, nl.src) * w2 * inv_sqrt_3
-        g3 = _gather_nodes(xh3, nl.src) * w3
+        # ONE gather of the full 3H feature block (three H-sized gathers would
+        # pay the gather overhead thrice for the same bytes)
+        g = _gather_nodes(xh, nl.src) * rbfh  # [B, N, K, 3H]
+        g1, g2, g3 = jnp.split(g, 3, axis=-1)
+        g2 = g2 * inv_sqrt_3
 
         dx = jnp.sum(g1, axis=2)  # [B, N, H]
 
         # directional term: sum_k unit[b,i,k,d] * g3[b,i,k,h] -> [B, N, 3, H]
         dvec = jnp.einsum("bnkd,bnkh->bndh", edge_unit, g3)
-        # vector-gather term, one cartesian component at a time to keep the
-        # peak intermediate at [B, N, K, H]; stacked (not scattered) so XLA
-        # sees a pure dataflow graph in a single dtype
+        # vector-gather term, one cartesian component at a time so the peak
+        # intermediate stays at [B, N, K, H]
         dvec = dvec + jnp.stack(
             [jnp.sum(_gather_nodes(vec[:, :, d, :], nl.src) * g2, axis=2) for d in range(3)],
             axis=2,

@@ -53,11 +53,16 @@ class TrainState:
     ema_params: Any
 
 
-def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None):
+def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None, amp: bool = False):
     from adsorbdiff_tpu.common.imports import setup_imports
 
     setup_imports()
     cfg = dict(model_cfg)
+    if amp and "compute_dtype" not in cfg:
+        # --amp => bfloat16 compute where the model supports it (replaces the
+        # reference's torch.cuda.amp autocast + GradScaler, ref:
+        # sde_denoising_trainer.py:424, base_trainer.py _backward)
+        cfg["compute_dtype"] = "bfloat16"
     name = cfg.pop("name", "painn")
     cls = registry.get_model_class(name) if isinstance(name, str) else name
     # accept reference YAML keys the TPU build handles elsewhere
@@ -98,7 +103,12 @@ class BaseTrainer:
         os.makedirs(self.ckpt_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
 
-        self.model = _model_from_config(self.model_cfg, mode=self._model_mode())
+        amp = bool(config.get("amp"))
+        try:
+            self.model = _model_from_config(self.model_cfg, mode=self._model_mode(), amp=amp)
+        except TypeError:
+            # model class without a compute_dtype field
+            self.model = _model_from_config(self.model_cfg, mode=self._model_mode())
         self._datasets(config)
         self._normalizers(config)
         self._optimizer()
@@ -169,23 +179,45 @@ class BaseTrainer:
 
     def _optimizer(self) -> None:
         n_iter = len(self.train_batcher) if self.train_batcher is not None else 1
-        self.lr_schedule = build_lr_schedule(
-            {
-                **self.optim_cfg,
-                "scheduler_params": {
-                    **(self.optim_cfg.get("scheduler_params", {}) or {}),
-                    "epochs": self.optim_cfg.get("max_epochs", 1),
+        if str(self.optim_cfg.get("scheduler", "")) == "ReduceLROnPlateau":
+            self.lr_schedule = lambda step: float(self.optim_cfg["lr_initial"])
+        else:
+            self.lr_schedule = build_lr_schedule(
+                {
+                    **self.optim_cfg,
+                    "scheduler_params": {
+                        **(self.optim_cfg.get("scheduler_params", {}) or {}),
+                        "epochs": self.optim_cfg.get("max_epochs", 1),
+                    },
                 },
-            },
-            n_iter,
-        )
+                n_iter,
+            )
         wd = float((self.optim_cfg.get("optimizer_params", {}) or {}).get("weight_decay", 0.0))
         clip = self.optim_cfg.get("clip_grad_norm")
         chain = []
         if clip:
             chain.append(optax.clip_by_global_norm(float(clip)))
-        chain.append(optax.adamw(self.lr_schedule, weight_decay=wd))
+        self.plateau = str(self.optim_cfg.get("scheduler", "")) == "ReduceLROnPlateau"
+        if self.plateau:
+            # host-free plateau scheduling (ref: base_trainer/ocp_trainer
+            # ReduceLROnPlateau path): constant base LR scaled down on-device
+            # when the loss stops improving
+            chain.append(optax.adamw(float(self.optim_cfg["lr_initial"]), weight_decay=wd))
+            chain.append(
+                optax.contrib.reduce_on_plateau(
+                    factor=float(self.optim_cfg.get("factor", 0.8)),
+                    patience=int(self.optim_cfg.get("patience", 3)),
+                )
+            )
+            self.lr_schedule = lambda step: float(self.optim_cfg["lr_initial"])
+        else:
+            chain.append(optax.adamw(self.lr_schedule, weight_decay=wd))
         self.tx = optax.chain(*chain)
+        # gradient accumulation (ref: grad_accumulation_steps in the published
+        # eqv2 config — effective batch = accum * batch_size * n_devices)
+        accum = int(self.optim_cfg.get("grad_accumulation_steps", 1) or 1)
+        if accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         self.ema_decay = self.optim_cfg.get("ema_decay")
 
     # ------------------------------------------------------------ state mgmt
@@ -226,7 +258,12 @@ class BaseTrainer:
         """Shared update: NaN-masked AdamW + clip + EMA."""
         good = jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        if getattr(self, "plateau", False):
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params, value=jnp.nan_to_num(loss, nan=1e9)
+            )
+        else:
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_params = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_params, state.params)
         new_opt = jax.tree.map(
@@ -325,6 +362,10 @@ class BaseTrainer:
                         return
                     val_metrics = self.validate("val")
                     self._update_best(val_metrics)
+                    # periodic sampling/relaxation eval during training
+                    # (ref: sde_denoising_trainer.py:504-518)
+                    if self.task_cfg.get("eval_relaxations", False) and self.relax_batcher is not None:
+                        self.run_relaxations()
             if checkpoint_every == -1:
                 if not drain():
                     return
@@ -405,7 +446,10 @@ class DenoisingTrainer(BaseTrainer):
         super().__init__(config, mesh)
         self.denoising_pos_params = self.optim_cfg.get("denoising_pos_params", {}) or {}
         self.schedule_fn = tr_so3_schedule if self.so3 else ads_com_gaussian_schedule
-        self.sampling_model = _model_from_config(self.model_cfg, sampling=True)
+        try:
+            self.sampling_model = _model_from_config(self.model_cfg, sampling=True, amp=bool(config.get("amp")))
+        except TypeError:
+            self.sampling_model = _model_from_config(self.model_cfg, sampling=True)
         self._predict_fns: Dict[Tuple[int, int], Any] = {}
 
     def _make_train_step(self):
