@@ -81,6 +81,12 @@ def run_pipeline(
     from adsorbdiff_tpu.relaxation.ml_relaxation import DiffusionEngine, RelaxationEngine
 
     denoise_params = denoising_pos_params or diffusion_trainer.denoising_pos_params
+    # one engine pair across all seeds: jit caches are per batch shape and
+    # must survive the seed loop
+    engine = DiffusionEngine(diffusion_trainer.score_fn, denoise_params)
+    rengine = RelaxationEngine(
+        relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax
+    )
     relax_dirs = []
     for seed in range(nsites):
         step_dir = os.path.join(out_dir, str(seed))
@@ -90,7 +96,6 @@ def run_pipeline(
         # stage 1: diffusion sampling (ref: run.py com_sde block)
         dataset = ShardDataset(relax_dataset_cfg)
         batcher = BucketedBatcher(dataset, batch_size, shuffle=False, seed=seed)
-        engine = DiffusionEngine(diffusion_trainer.score_fn, denoise_params)
         key = jax.random.PRNGKey(seed)
         for i, batch in enumerate(batcher):
             engine.run(batch, jax.random.fold_in(key, i), traj_dir=sample_dir)
@@ -103,9 +108,6 @@ def run_pipeline(
         # stage 3: MLFF relaxation (ref: run.py com block)
         relax_ds = ShardDataset({"src": shard_path})
         relax_batcher = BucketedBatcher(relax_ds, batch_size, shuffle=False, seed=seed)
-        rengine = RelaxationEngine(
-            relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax
-        )
         for batch in relax_batcher:
             rengine.run(batch, traj_dir=relax_dir)
         relax_dirs.append(relax_dir)

@@ -441,15 +441,22 @@ class DenoisingTrainer(BaseTrainer):
 
     name = "ocp"
 
+    def _model_mode(self) -> Optional[str]:
+        # force score-model heads regardless of the model class default
+        # (PaiNN defaults to denoising, GemNetOC/EqV2 default to s2ef)
+        return "denoising" if "mode" not in self.model_cfg else None
+
     def __init__(self, config: dict, mesh="auto") -> None:
         self.so3 = bool(config["model"].get("so3_denoising", False))
         super().__init__(config, mesh)
         self.denoising_pos_params = self.optim_cfg.get("denoising_pos_params", {}) or {}
         self.schedule_fn = tr_so3_schedule if self.so3 else ads_com_gaussian_schedule
         try:
-            self.sampling_model = _model_from_config(self.model_cfg, sampling=True, amp=bool(config.get("amp")))
+            self.sampling_model = _model_from_config(
+                self.model_cfg, sampling=True, mode=self._model_mode(), amp=bool(config.get("amp"))
+            )
         except TypeError:
-            self.sampling_model = _model_from_config(self.model_cfg, sampling=True)
+            self.sampling_model = _model_from_config(self.model_cfg, sampling=True, mode=self._model_mode())
         self._predict_fns: Dict[Tuple[int, int], Any] = {}
 
     def _make_train_step(self):
@@ -471,21 +478,29 @@ class DenoisingTrainer(BaseTrainer):
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def _eval_step_fn(self):
+        """Cached jitted eval step (a fresh jit per validate() call would
+        recompile every epoch)."""
+        if "denoise_eval" not in self._eval_fns:
+            model, so3 = self.model, self.so3
+            schedule_fn, params_cfg = self.schedule_fn, self.denoising_pos_params
+
+            @jax.jit
+            def eval_step(state: TrainState, batch: AtomsBatch, key):
+                batch = batch.replace(pos=batch.pos_relaxed)
+                noised, targets = schedule_fn(key, batch, params_cfg)
+                out = model.apply({"params": state.ema_params, "scale_factors": state.scale_factors}, noised)
+                out1, out2 = (out if so3 else (out, None))
+                return denoising_loss(out1, out2, noised, targets)
+
+            self._eval_fns["denoise_eval"] = eval_step
+        return self._eval_fns["denoise_eval"]
+
     def validate(self, split: str = "val") -> dict:
         """EMA-weighted validation under freshly sampled noise (ref: :286-368)."""
         batcher = self.val_batcher if split == "val" else self.relax_batcher
         assert batcher is not None
-        model, so3 = self.model, self.so3
-        schedule_fn, params_cfg = self.schedule_fn, self.denoising_pos_params
-
-        @jax.jit
-        def eval_step(state: TrainState, batch: AtomsBatch, key):
-            batch = batch.replace(pos=batch.pos_relaxed)
-            noised, targets = schedule_fn(key, batch, params_cfg)
-            out = model.apply({"params": state.ema_params, "scale_factors": state.scale_factors}, noised)
-            out1, out2 = (out if so3 else (out, None))
-            return denoising_loss(out1, out2, noised, targets)
-
+        eval_step = self._eval_step_fn()
         metrics: Dict[str, Any] = {}
         key = jax.random.PRNGKey(self.seed + 1)
         for i, batch in enumerate(batcher):
