@@ -50,12 +50,36 @@ def _gather_nodes(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(b, n, k, a.shape[-1])
 
 
+class _FilterParams(nn.Module):
+    """Explicit kernel/bias for the edge-filter projection, shaped like an
+    nn.Dense so checkpoints/torch-import stay layout-compatible whether the
+    XLA or the Pallas path consumes them."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_features, self.out_features))
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return k, b
+
+
 class PaiNNMessage(nn.Module):
-    """Message block (ref: painn_denoising.py:498-572)."""
+    """Message block (ref: painn_denoising.py:498-572).
+
+    ``use_pallas=True`` routes the filter construction + gather consumption +
+    K-reduction through :func:`adsorbdiff_tpu.ops.pallas_kernels
+    .painn_message_consumer` (radial filters stay in VMEM, gathered features
+    are read once); requires the gaussian/polynomial basis and edge distances.
+    """
 
     hidden_channels: int
     num_rbf: int
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+    cutoff: float = 12.0
+    envelope_exponent: int = 5
 
     @nn.compact
     def __call__(
@@ -65,6 +89,7 @@ class PaiNNMessage(nn.Module):
         nl: NeighborList,
         edge_rbf: jnp.ndarray,  # [B, N, K, R]
         edge_unit: jnp.ndarray,  # [B, N, K, 3]
+        edge_dist: Optional[jnp.ndarray] = None,  # [B, N, K] (pallas path)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h = self.hidden_channels
         inv_sqrt_3 = 1 / math.sqrt(3.0)
@@ -75,7 +100,31 @@ class PaiNNMessage(nn.Module):
         xh = scaled_silu(xh)
         xh = nn.Dense(3 * h, dtype=self.dtype)(xh)  # [B, N, 3H]
 
-        rbfh = nn.Dense(3 * h, dtype=self.dtype)(edge_rbf)  # [B, N, K, 3H]
+        w_filter, b_filter = _FilterParams(self.num_rbf, 3 * h, name="Dense_2")()
+
+        if self.use_pallas and edge_dist is not None:
+            from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer
+
+            b, n, k = nl.src.shape
+            xh_g = _gather_nodes(xh.astype(jnp.float32), nl.src)  # [B,N,K,3H]
+            vec_flat = vec.astype(jnp.float32).reshape(b, n, 3 * h)
+            vec_g = _gather_nodes(vec_flat, nl.src)
+            dx, dvec = painn_message_consumer(
+                edge_dist.reshape(b * n, k),
+                nl.mask.reshape(b * n, k),
+                edge_unit.astype(jnp.float32).reshape(b * n, k, 3),
+                xh_g.reshape(b * n, k, 3 * h),
+                vec_g.reshape(b * n, k, 3 * h),
+                w_filter,
+                b_filter,
+                cutoff=self.cutoff,
+                envelope_exponent=self.envelope_exponent,
+            )
+            dx = dx.reshape(b, n, h) * 1.0
+            dvec = dvec.reshape(b, n, 3, h) * inv_sqrt_h
+            return dx.astype(x.dtype), dvec.astype(x.dtype)
+
+        rbfh = (edge_rbf @ w_filter.astype(edge_rbf.dtype)) + b_filter.astype(edge_rbf.dtype)
         # Zero invalid edges here: the raw RBF of a padded (dist=0) slot is
         # NOT zero, so masking the filter is what keeps padding silent.
         rbfh = jnp.where(nl.mask[..., None], rbfh, 0.0)
@@ -198,6 +247,7 @@ class PaiNN(nn.Module):
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16": message/update
     # matmuls and edge tensors in bf16 (params + heads stay f32)
+    use_pallas: bool = False  # fused VMEM message kernel (gaussian/poly basis only)
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
@@ -236,9 +286,12 @@ class PaiNN(nn.Module):
 
         inv_sqrt_2 = 1 / math.sqrt(2.0)
         for i in range(self.num_layers):
-            dx, dvec = PaiNNMessage(self.hidden_channels, self.num_rbf, dtype=cdt, name=f"message_{i}")(
-                x, vec, nl, edge_rbf, edge_unit
-            )
+            dx, dvec = PaiNNMessage(
+                self.hidden_channels, self.num_rbf, dtype=cdt, use_pallas=self.use_pallas,
+                cutoff=self.cutoff,
+                envelope_exponent=int((self.envelope or {}).get("exponent", 5)),
+                name=f"message_{i}",
+            )(x, vec, nl, edge_rbf, edge_unit, edge_dist=nl.dist)
             x = (x + dx) * inv_sqrt_2
             vec = vec + dvec
             dx, dvec = PaiNNUpdate(self.hidden_channels, dtype=cdt, name=f"update_{i}")(x, vec)

@@ -20,6 +20,7 @@ gather/reduce kernels.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -30,6 +31,135 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# fused PaiNN message consumer
+# ---------------------------------------------------------------------------
+def _painn_message_kernel(
+    dist_ref,  # [K, 1] f32 — one target atom per program, K on sublanes
+    mask_ref,  # [K, 1] f32
+    u_ref,  # [K, 3] f32 unit edge vectors
+    xh_ref,  # [K, 3H] gathered source features
+    vec_ref,  # [K, 3H] gathered source vec features (3, H flattened)
+    w_ref,  # [R, 3H] f32 filter projection
+    b_ref,  # [1, 3H] f32
+    dx_ref,  # [1, H] f32 out
+    dvec_ref,  # [1, 3H] f32 out (3, H flattened)
+    *,
+    h: int,
+    num_radial: int,
+    inv_cutoff: float,
+    envelope_exponent: int,
+):
+    inv_sqrt_3 = 1.0 / math.sqrt(3.0)
+    # blocks arrive as [1, K, ...]; drop the leading grid dim
+    d_scaled = dist_ref[0] * inv_cutoff  # [K, 1]
+    p = float(envelope_exponent)
+    a = -(p + 1) * (p + 2) / 2
+    b_env = p * (p + 2)
+    c = -p * (p + 1) / 2
+    dp = d_scaled**p
+    env = 1 + a * dp + b_env * dp * d_scaled + c * dp * d_scaled * d_scaled
+    env = jnp.where(d_scaled < 1.0, env, 0.0)
+    offsets = jax.lax.broadcasted_iota(jnp.int32, (1, num_radial), 1).astype(jnp.float32) / (num_radial - 1)
+    coeff = -0.5 * ((num_radial - 1) ** 2)
+    diff = d_scaled - offsets  # [K, R]
+    basis = jnp.exp(coeff * diff * diff) * env
+
+    w = jnp.dot(basis, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]  # [K, 3H]
+    w = w * mask_ref[0]
+
+    g = xh_ref[0].astype(jnp.float32) * w  # [K, 3H]
+    g1 = g[:, :h]
+    g2 = g[:, h : 2 * h] * inv_sqrt_3
+    g3 = g[:, 2 * h :]
+
+    dx_ref[0] = jnp.sum(g1, axis=0, keepdims=True)
+
+    vj = vec_ref[0].astype(jnp.float32)
+    for d in range(3):
+        u_d = u_ref[0, :, d : d + 1]  # [K, 1]
+        dvec_ref[0, :, d * h : (d + 1) * h] = jnp.sum(
+            u_d * g3 + vj[:, d * h : (d + 1) * h] * g2, axis=0, keepdims=True
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti")
+)
+def painn_message_consumer(
+    dist: jnp.ndarray,  # [M, K] f32 (M = B*N flattened targets)
+    mask: jnp.ndarray,  # [M, K] bool
+    unit: jnp.ndarray,  # [M, K, 3] f32
+    xh_gathered: jnp.ndarray,  # [M, K, 3H] gathered source xh
+    vec_gathered: jnp.ndarray,  # [M, K, 3H] gathered source vec (3,H flattened)
+    weights: jnp.ndarray,  # [R, 3H]
+    bias: jnp.ndarray,  # [3H]
+    *,
+    cutoff: float,
+    envelope_exponent: int = 5,
+    ti: int = 1,  # kept for API stability; one target per program
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused PaiNN message aggregation: radial filters are computed in VMEM
+    (never written to HBM), gathered features are read exactly once, and all
+    three message streams reduce over K in one pass.
+
+    Returns (dx [M, H], dvec [M, 3, H]) — identical math to the XLA path in
+    models/painn.py PaiNNMessage (before the 1/sqrt(H) scale, which the caller
+    applies).  One target atom per grid program with K on the sublane axis —
+    no in-kernel reshapes/transposes (mosaic layout constraint).
+
+    STATUS (round 1): correct on TPU (parity ~1.4% over a 6-layer model from
+    mosaic's exp approximation) but SLOWER than the XLA path at this grid
+    granularity (A/B on v5e: 260 vs 301 system-steps/s end-to-end) — per-
+    program overhead dominates with M programs of one target each.  Default
+    off (PaiNN.use_pallas=False).  Round-2 plan: multi-target tiles using
+    sublane regrouping via static selection-matrix matmuls, and fusing the
+    source-feature gather with scalar-prefetch DMA (see docs/PERF.md).
+    """
+    m_rows, k = dist.shape
+    num_radial, f3 = weights.shape
+    h = f3 // 3
+
+    kernel = functools.partial(
+        _painn_message_kernel,
+        h=h,
+        num_radial=num_radial,
+        inv_cutoff=1.0 / cutoff,
+        envelope_exponent=envelope_exponent,
+    )
+    dx, dvec = pl.pallas_call(
+        kernel,
+        grid=(m_rows,),
+        in_specs=[
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # dist
+            pl.BlockSpec((1, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec((1, k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # unit
+            pl.BlockSpec((1, k, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # xh
+            pl.BlockSpec((1, k, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),  # vec
+            pl.BlockSpec((num_radial, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_rows, 1, h), jnp.float32),
+            jax.ShapeDtypeStruct((m_rows, 1, f3), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        dist[..., None].astype(jnp.float32),
+        mask[..., None].astype(jnp.float32),
+        unit.astype(jnp.float32),
+        xh_gathered,
+        vec_gathered,
+        weights.astype(jnp.float32),
+        bias.reshape(1, f3).astype(jnp.float32),
+    )
+    return dx.reshape(m_rows, h), dvec.reshape(m_rows, 3, h)
 
 
 def _fused_rbf_filter_kernel(

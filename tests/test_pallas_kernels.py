@@ -40,3 +40,20 @@ def test_fused_rbf_filter_beyond_cutoff_zero(rng):
     out = np.asarray(fused_rbf_filter(dist, mask, w, b, cutoff=cutoff, tile=128))
     assert np.abs(out[0, 0]).max() == 0.0
     assert np.abs(out[0, 1]).max() > 0.0
+
+
+def test_painn_message_consumer_matches_xla_path(rng):
+    """Full-model parity: use_pallas=True == use_pallas=False (f32)."""
+    import jax
+
+    from adsorbdiff_tpu.models.painn import PaiNN
+    from tests.test_painn import MODEL_KW, make_batch
+
+    batch = make_batch(rng)
+    m_ref = PaiNN(**MODEL_KW, so3_denoising=True)
+    variables = m_ref.init(jax.random.PRNGKey(0), batch)
+    m_pal = PaiNN(**MODEL_KW, so3_denoising=True, use_pallas=True)
+    f_ref = m_ref.apply(variables, batch)
+    f_pal = m_pal.apply(variables, batch)
+    np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pal[1]), np.asarray(f_ref[1]), atol=5e-5, rtol=1e-4)
