@@ -103,12 +103,13 @@ class PaiNNMessage(nn.Module):
         w_filter, b_filter = _FilterParams(self.num_rbf, 3 * h, name="Dense_2")()
 
         if self.use_pallas and edge_dist is not None:
-            from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer
+            from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer_tiled as painn_message_consumer
 
             b, n, k = nl.src.shape
-            xh_g = _gather_nodes(xh.astype(jnp.float32), nl.src)  # [B,N,K,3H]
-            vec_flat = vec.astype(jnp.float32).reshape(b, n, 3 * h)
-            vec_g = _gather_nodes(vec_flat, nl.src)
+            # keep the compute dtype through the gather (bf16 halves the
+            # dominant HBM traffic); the kernel upcasts to f32 in VMEM
+            xh_g = _gather_nodes(xh, nl.src)  # [B,N,K,3H]
+            vec_g = _gather_nodes(vec.reshape(b, n, 3 * h), nl.src)
             dx, dvec = painn_message_consumer(
                 edge_dist.reshape(b * n, k),
                 nl.mask.reshape(b * n, k),

@@ -237,3 +237,136 @@ def fused_rbf_filter(
         interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
     )(d_flat, k_flat, weights.astype(jnp.float32), bias.reshape(1, f).astype(jnp.float32))
     return out[:m].reshape(lead + (f,))
+
+
+# ---------------------------------------------------------------------------
+# multi-target variant: TI targets per program, reductions as MXU matmuls
+# ---------------------------------------------------------------------------
+def _painn_message_tiled_kernel(
+    dist_ref,  # [1, TI*K, 1]
+    mask_ref,  # [1, TI*K, 1]
+    ut_ref,  # [1, 3, TI*K]  (unit vectors, transposed on host)
+    xh_ref,  # [1, TI*K, 3H]
+    vec_ref,  # [1, TI*K, 3H]
+    w_ref,  # [R, 3H]
+    b_ref,  # [1, 3H]
+    dx_ref,  # [1, TI, H]
+    dvec_ref,  # [1, TI, 3H]
+    *,
+    ti: int,
+    k: int,
+    h: int,
+    num_radial: int,
+    inv_cutoff: float,
+    envelope_exponent: int,
+):
+    inv_sqrt_3 = 1.0 / math.sqrt(3.0)
+    e = ti * k
+    d_scaled = dist_ref[0] * inv_cutoff  # [E, 1]
+    p = float(envelope_exponent)
+    a = -(p + 1) * (p + 2) / 2
+    b_env = p * (p + 2)
+    c = -p * (p + 1) / 2
+    dp = d_scaled**p
+    env = 1 + a * dp + b_env * dp * d_scaled + c * dp * d_scaled * d_scaled
+    env = jnp.where(d_scaled < 1.0, env, 0.0)
+    offsets = jax.lax.broadcasted_iota(jnp.int32, (1, num_radial), 1).astype(jnp.float32) / (num_radial - 1)
+    coeff = -0.5 * ((num_radial - 1) ** 2)
+    diff = d_scaled - offsets
+    basis = jnp.exp(coeff * diff * diff) * env  # [E, R]
+
+    w = jnp.dot(basis, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]
+    w = w * mask_ref[0]
+    g = xh_ref[0].astype(jnp.float32) * w  # [E, 3H]
+    g1 = g[:, :h]
+    g2 = g[:, h : 2 * h] * inv_sqrt_3
+    g3 = g[:, 2 * h :]
+
+    # static selection matrix S[t, e] = 1 iff edge e belongs to target t;
+    # group reductions become MXU matmuls (no sublane reshapes)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (ti, e), 0)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (ti, e), 1) // k
+    s_mat = (row_t == col_g).astype(jnp.float32)  # [TI, E]
+
+    dx_ref[0] = jnp.dot(s_mat, g1, preferred_element_type=jnp.float32)
+
+    vj = vec_ref[0].astype(jnp.float32)
+    for d in range(3):
+        u_row = ut_ref[0, d : d + 1, :]  # [1, E]
+        contrib = jnp.dot(s_mat * u_row, g3, preferred_element_type=jnp.float32) + jnp.dot(
+            s_mat, vj[:, d * h : (d + 1) * h] * g2, preferred_element_type=jnp.float32
+        )
+        dvec_ref[0, :, d * h : (d + 1) * h] = contrib
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti"))
+def painn_message_consumer_tiled(
+    dist: jnp.ndarray,  # [M, K]
+    mask: jnp.ndarray,  # [M, K]
+    unit: jnp.ndarray,  # [M, K, 3]
+    xh_gathered: jnp.ndarray,  # [M, K, 3H]
+    vec_gathered: jnp.ndarray,  # [M, K, 3H]
+    weights: jnp.ndarray,  # [R, 3H]
+    bias: jnp.ndarray,  # [3H]
+    *,
+    cutoff: float,
+    envelope_exponent: int = 5,
+    ti: int = 8,  # VMEM budget: 2 x [ti*K, 3H] f32 blocks must fit in ~16MB
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-target variant of :func:`painn_message_consumer`: TI targets per
+    grid program, all K-group reductions lowered to MXU matmuls against a
+    static selection matrix (mosaic forbids the sublane regrouping a direct
+    reshape would need)."""
+    m_rows, k = dist.shape
+    num_radial, f3 = weights.shape
+    h = f3 // 3
+    m_pad = _round_up(m_rows, ti)
+    e = ti * k
+
+    def pad_rows(x):
+        return jnp.pad(x, [(0, m_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    g_tiles = m_pad // ti
+    dist_p = pad_rows(dist.astype(jnp.float32)).reshape(g_tiles, e, 1)
+    mask_p = pad_rows(mask.astype(jnp.float32)).reshape(g_tiles, e, 1)
+    ut_p = jnp.swapaxes(pad_rows(unit.astype(jnp.float32)).reshape(g_tiles, e, 3), 1, 2)
+    xh_p = pad_rows(xh_gathered).reshape(g_tiles, e, f3)
+    vec_p = pad_rows(vec_gathered).reshape(g_tiles, e, f3)
+
+    kernel = functools.partial(
+        _painn_message_tiled_kernel,
+        ti=ti,
+        k=k,
+        h=h,
+        num_radial=num_radial,
+        inv_cutoff=1.0 / cutoff,
+        envelope_exponent=envelope_exponent,
+    )
+    dx, dvec = pl.pallas_call(
+        kernel,
+        grid=(g_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, e, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_radial, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ti, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, f3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_tiles, ti, h), jnp.float32),
+            jax.ShapeDtypeStruct((g_tiles, ti, f3), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        dist_p, mask_p, ut_p, xh_p, vec_p,
+        weights.astype(jnp.float32), bias.reshape(1, f3).astype(jnp.float32),
+    )
+    dx = dx.reshape(m_pad, h)[:m_rows]
+    dvec = dvec.reshape(m_pad, f3)[:m_rows]
+    return dx, dvec.reshape(m_rows, 3, h)

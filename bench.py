@@ -51,10 +51,11 @@ def main() -> None:
         systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags, fixed=tags == 0, sid=i))
     batch = collate(systems, max_atoms=n_pad)
 
-    # bf16 message passing: the edge tensors are the HBM-bandwidth bottleneck.
     # cell_reps (2,2,0): the 23 A z-vacuum exceeds the cutoff, so z-images
     # can never be neighbors — identical physics, 3x fewer graph candidates.
-    model = PaiNN(sampling=True, compute_dtype="bfloat16", cell_reps=(2, 2, 0))
+    # use_pallas: fused VMEM message-consumer kernel (inference-only) fed by
+    # bf16 gathers — same-session A/B vs the XLA f32 path: +50% (docs/PERF.md).
+    model = PaiNN(sampling=True, cell_reps=(2, 2, 0), use_pallas=True, compute_dtype="bfloat16")
     variables = model.init(jax.random.PRNGKey(0), batch)
 
     def score_fn(cur):

@@ -57,3 +57,20 @@ def test_painn_message_consumer_matches_xla_path(rng):
     f_pal = m_pal.apply(variables, batch)
     np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f_pal[1]), np.asarray(f_ref[1]), atol=5e-5, rtol=1e-4)
+
+
+def test_tiled_consumer_matches_single(rng):
+    from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer, painn_message_consumer_tiled
+
+    m, k, r, h = 13, 10, 16, 64  # deliberately non-multiple of ti
+    dist = jnp.asarray(rng.uniform(0, 7, (m, k)).astype(np.float32))
+    mask = jnp.asarray(rng.random((m, k)) > 0.2)
+    unit = jnp.asarray(rng.normal(0, 1, (m, k, 3)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(0, 1, (m, k, 3 * h)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(0, 1, (m, k, 3 * h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (r, 3 * h)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, 3 * h).astype(np.float32))
+    dx1, dv1 = painn_message_consumer(dist, mask, unit, xh, vec, w, b, cutoff=6.0)
+    dx2, dv2 = painn_message_consumer_tiled(dist, mask, unit, xh, vec, w, b, cutoff=6.0, ti=8)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1), atol=1e-4, rtol=1e-4)
