@@ -105,8 +105,8 @@ def reverse_diffusion(
     ads3 = batch.ads_mask[..., None]
 
     def step(carry, inp):
-        pos, cvg_count = carry
-        t_s, dt, k = inp
+        pos, cvg_count, frozen_at = carry
+        t_s, dt, k, it = inp
         cur = batch.replace(pos=pos)
 
         tr_sigma = lo ** (1 - t_s) * hi**t_s
@@ -133,6 +133,8 @@ def reverse_diffusion(
         converged_now = jnp.all(jnp.abs(dx) <= 1.0e-3)
         cvg_count = jnp.where(converged_now, cvg_count + 1, cvg_count)
         frozen = cvg_count >= 10
+        # record the step where updates actually froze (first time cvg hits 10)
+        frozen_at = jnp.minimum(frozen_at, jnp.where(frozen, it, num_steps))
         scale = jnp.where(frozen, 0.0, 1.0)
         dx = dx * scale
 
@@ -152,14 +154,15 @@ def reverse_diffusion(
             new_ads = pos + dx[:, None, :]
 
         new_pos = jnp.where(ads3, new_ads, pos)
-        return (new_pos, cvg_count), new_pos
+        return (new_pos, cvg_count, frozen_at), new_pos
 
     keys = jax.random.split(k_noise, num_steps)
-    (final_pos, cvg), traj = jax.lax.scan(step, (batch.pos, jnp.zeros((), jnp.int32)), (s, dt_arr, keys))
+    init_carry = (batch.pos, jnp.zeros((), jnp.int32), jnp.asarray(num_steps, jnp.int32))
+    steps_idx = jnp.arange(num_steps, dtype=jnp.int32)
+    (final_pos, _, frozen_at), traj = jax.lax.scan(step, init_carry, (s, dt_arr, keys, steps_idx))
     traj = jnp.concatenate([batch.pos[None], traj], axis=0)
     final = batch.replace(pos=final_pos)
-    converged_at = jnp.where(cvg >= 10, num_steps - jnp.minimum(cvg, num_steps), num_steps)
-    return SampleResult(batch=final, traj_pos=traj, converged_at=converged_at.astype(jnp.int32))
+    return SampleResult(batch=final, traj_pos=traj, converged_at=frozen_at)
 
 
 def langevin_dynamics(

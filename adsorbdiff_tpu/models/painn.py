@@ -252,6 +252,21 @@ class PaiNN(nn.Module):
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
+        # The Pallas message kernel recomputes the radial basis in-VMEM
+        # assuming gaussian RBF x polynomial envelope and has no custom VJP
+        # yet — gate it to inference (sampling) and the published basis so a
+        # training run or a differently configured basis silently falls back
+        # to the XLA path instead of diverging/failing under jax.grad.
+        use_pallas = self.use_pallas and self.sampling
+        if use_pallas:
+            rbf_name = (self.rbf or {"name": "gaussian"}).get("name", "gaussian")
+            env_name = (self.envelope or {"name": "polynomial"}).get("name", "polynomial")
+            if rbf_name != "gaussian" or env_name != "polynomial":
+                raise ValueError(
+                    f"use_pallas requires the gaussian/polynomial radial basis, got "
+                    f"rbf={rbf_name!r} envelope={env_name!r}"
+                )
+
         nl, edge_dist, edge_unit = generate_graph(
             batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
         )
@@ -288,7 +303,7 @@ class PaiNN(nn.Module):
         inv_sqrt_2 = 1 / math.sqrt(2.0)
         for i in range(self.num_layers):
             dx, dvec = PaiNNMessage(
-                self.hidden_channels, self.num_rbf, dtype=cdt, use_pallas=self.use_pallas,
+                self.hidden_channels, self.num_rbf, dtype=cdt, use_pallas=use_pallas,
                 cutoff=self.cutoff,
                 envelope_exponent=int((self.envelope or {}).get("exponent", 5)),
                 name=f"message_{i}",

@@ -38,9 +38,9 @@ class LBFGSResult(NamedTuple):
     batch: AtomsBatch  # final positions
     energy: jnp.ndarray  # [B] final energy
     forces: jnp.ndarray  # [B, N, 3] final forces (no constraint applied, ref :140-143)
-    traj_pos: jnp.ndarray  # [T, B, N, 3]
-    traj_energy: jnp.ndarray  # [T, B]
-    traj_forces: jnp.ndarray  # [T, B, N, 3]
+    traj_pos: jnp.ndarray  # [T+1, B, N, 3] (last frame = final relaxed state)
+    traj_energy: jnp.ndarray  # [T+1, B]
+    traj_forces: jnp.ndarray  # [T+1, B, N, 3]
     nsteps: jnp.ndarray  # [] int32 — steps before batch-wide convergence (freeze point)
     converged: jnp.ndarray  # [B] bool — per-system fmax reached
 
@@ -84,28 +84,29 @@ def lbfgs_relax(
     def two_loop(q, s_buf, y_buf, rho_buf, n_hist):
         """Standard two-loop recursion over the ring buffer (ref :179-193).
 
-        History entries are stored at slots [0, n_hist) in insertion order
-        (we shift the buffers rather than rotating indices: memory is small).
+        Pushes shift the buffers left and write at the TAIL (newest entry at
+        slot memory-1), so the n_hist valid entries live at slots
+        [memory - n_hist, memory) in oldest->newest order; the backward pass
+        walks the tail newest->oldest, the forward pass oldest->newest.
         """
         m = s_buf.shape[0]
 
         def bwd(j, qa):
             q, alpha_vec = qa
-            i = n_hist - 1 - j  # newest -> oldest
-            valid = i >= 0
-            i_safe = jnp.maximum(i, 0)
-            a_i = rho_buf[i_safe] * jnp.dot(s_buf[i_safe], q)
+            slot = m - 1 - j  # newest -> oldest
+            valid = j < n_hist
+            a_i = rho_buf[slot] * jnp.dot(s_buf[slot], q)
             a_i = jnp.where(valid, a_i, 0.0)
-            q = q - a_i * y_buf[i_safe] * valid
-            return q, alpha_vec.at[i_safe].set(jnp.where(valid, a_i, alpha_vec[i_safe]))
+            q = q - a_i * y_buf[slot]
+            return q, alpha_vec.at[slot].set(a_i)
 
         q, alpha_vec = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros(m, q.dtype)))
         z = h0 * q
 
-        def fwd(i, z):
-            valid = i < n_hist
-            beta = rho_buf[i] * jnp.dot(y_buf[i], z)
-            upd = s_buf[i] * (alpha_vec[i] - beta)
+        def fwd(slot, z):
+            valid = slot >= m - n_hist
+            beta = rho_buf[slot] * jnp.dot(y_buf[slot], z)
+            upd = s_buf[slot] * (alpha_vec[slot] - beta)
             return z + jnp.where(valid, upd, 0.0)
 
         return jax.lax.fori_loop(0, m, fwd, z)
@@ -182,6 +183,13 @@ def lbfgs_relax(
     final_e, final_f = final_fn(batch.replace(pos=carry.pos))  # no constraint (ref :140-143)
     fnorm = jnp.linalg.norm(jnp.where(atom3, final_f, 0.0), axis=-1)
     converged = masked_max(fnorm, batch.atom_mask, axis=1) < fmax
+
+    # the scan emits pre-update frames; append the final relaxed state so the
+    # last trajectory frame IS the result (as the sampler does) — eval tooling
+    # reads the last frame/energy as "final"
+    traj_pos = jnp.concatenate([traj_pos, carry.pos[None]], axis=0)
+    traj_e = jnp.concatenate([traj_e, final_e[None]], axis=0)
+    traj_f = jnp.concatenate([traj_f, final_f[None]], axis=0)
 
     return LBFGSResult(
         batch=batch.replace(pos=carry.pos),

@@ -52,7 +52,8 @@ def test_painn_message_consumer_matches_xla_path(rng):
     batch = make_batch(rng)
     m_ref = PaiNN(**MODEL_KW, so3_denoising=True)
     variables = m_ref.init(jax.random.PRNGKey(0), batch)
-    m_pal = PaiNN(**MODEL_KW, so3_denoising=True, use_pallas=True)
+    # sampling=True: the pallas path is inference-gated (no custom VJP yet)
+    m_pal = PaiNN(**MODEL_KW, so3_denoising=True, use_pallas=True, sampling=True)
     f_ref = m_ref.apply(variables, batch)
     f_pal = m_pal.apply(variables, batch)
     np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=5e-5, rtol=1e-4)

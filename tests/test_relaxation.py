@@ -51,6 +51,31 @@ def test_lbfgs_minimizes_harmonic(rng):
     np.testing.assert_array_equal(np.asarray(res.batch.pos)[pad], np.asarray(batch.pos)[pad])
 
 
+def test_lbfgs_uses_history_immediately(rng):
+    """Regression: the two-loop must read the ring buffer from the TAIL.
+
+    With the tail-write/head-read mismatch, the recursion read only zero slots
+    until `memory` pushes accumulated, silently degrading to H0-scaled
+    gradient descent.  On this ill-conditioned quadratic, H0=1/70 gradient
+    descent moves ~0.004 A/step on the soft mode (needs hundreds of steps);
+    true L-BFGS, using history from iteration 2, converges within 40.
+    """
+    batch = make_batch(rng, spread=1.0)
+    target = batch.pos + jnp.asarray(rng.normal(0, 0.3, batch.pos.shape).astype(np.float32))
+    k = jnp.asarray(np.linspace(0.5, 10.0, batch.pos.shape[1]).astype(np.float32))[None, :, None]
+
+    def fn(b):
+        diff = (b.pos - target) * b.atom_mask[..., None]
+        return 0.5 * jnp.sum(k * diff**2, axis=(1, 2)), -k * diff
+
+    res = lbfgs_relax(fn, batch, steps=40, fmax=1e-3, maxstep=0.2, memory=50)
+    assert bool(np.asarray(res.converged).all()), np.asarray(res.forces).max()
+    assert int(res.nsteps) < 40
+    # last trajectory frame IS the final relaxed state
+    np.testing.assert_array_equal(np.asarray(res.traj_pos[-1]), np.asarray(res.batch.pos))
+    np.testing.assert_array_equal(np.asarray(res.traj_energy[-1]), np.asarray(res.energy))
+
+
 def test_lbfgs_fixed_atoms_and_maxstep(rng):
     batch = make_batch(rng, spread=2.0)
     fixed = np.zeros(np.asarray(batch.fixed).shape, bool)
