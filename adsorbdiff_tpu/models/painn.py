@@ -103,26 +103,24 @@ class PaiNNMessage(nn.Module):
         w_filter, b_filter = _FilterParams(self.num_rbf, 3 * h, name="Dense_2")()
 
         if self.use_pallas and edge_dist is not None:
-            from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer_tiled as painn_message_consumer
+            from adsorbdiff_tpu.ops.pallas_kernels import painn_message_fused
 
             b, n, k = nl.src.shape
-            # keep the compute dtype through the gather (bf16 halves the
-            # dominant HBM traffic); the kernel upcasts to f32 in VMEM
-            xh_g = _gather_nodes(xh, nl.src)  # [B,N,K,3H]
-            vec_g = _gather_nodes(vec.reshape(b, n, 3 * h), nl.src)
-            dx, dvec = painn_message_consumer(
-                edge_dist.reshape(b * n, k),
-                nl.mask.reshape(b * n, k),
-                edge_unit.astype(jnp.float32).reshape(b * n, k, 3),
-                xh_g.reshape(b * n, k, 3 * h),
-                vec_g.reshape(b * n, k, 3 * h),
+            # the gather happens IN-KERNEL (one-hot MXU matmul against the
+            # per-system node table in VMEM) — no [B,N,K,3H] HBM round-trips
+            dx, dvec = painn_message_fused(
+                xh,
+                vec.reshape(b, n, 3 * h),
+                nl.src,
+                edge_dist,
+                nl.mask,
+                edge_unit.astype(jnp.float32),
                 w_filter,
                 b_filter,
                 cutoff=self.cutoff,
                 envelope_exponent=self.envelope_exponent,
             )
-            dx = dx.reshape(b, n, h) * 1.0
-            dvec = dvec.reshape(b, n, 3, h) * inv_sqrt_h
+            dvec = dvec * inv_sqrt_h
             return dx.astype(x.dtype), dvec.astype(x.dtype)
 
         rbfh = (edge_rbf @ w_filter.astype(edge_rbf.dtype)) + b_filter.astype(edge_rbf.dtype)

@@ -75,3 +75,29 @@ def test_tiled_consumer_matches_single(rng):
     dx2, dv2 = painn_message_consumer_tiled(dist, mask, unit, xh, vec, w, b, cutoff=6.0, ti=8)
     np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv1), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_gather_kernel_matches_tiled(rng):
+    """painn_message_fused (gather-in-kernel) == tiled consumer fed by an
+    explicit XLA gather, on ragged shapes (n not a multiple of ti)."""
+    from adsorbdiff_tpu.ops.pallas_kernels import painn_message_consumer_tiled, painn_message_fused
+
+    b, n, k, r, h = 2, 13, 10, 16, 64
+    src = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    dist = jnp.asarray(rng.uniform(0, 7, (b, n, k)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    unit = jnp.asarray(rng.normal(0, 1, (b, n, k, 3)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(0, 1, (b, n, 3 * h)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(0, 1, (b, n, 3 * h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (r, 3 * h)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, 3 * h).astype(np.float32))
+
+    xh_g = jnp.take_along_axis(xh, src.reshape(b, n * k)[..., None], axis=1).reshape(b * n, k, 3 * h)
+    vec_g = jnp.take_along_axis(vec, src.reshape(b, n * k)[..., None], axis=1).reshape(b * n, k, 3 * h)
+    dx_ref, dv_ref = painn_message_consumer_tiled(
+        dist.reshape(b * n, k), mask.reshape(b * n, k), unit.reshape(b * n, k, 3),
+        xh_g, vec_g, w, bias, cutoff=6.0, ti=8,
+    )
+    dx, dv = painn_message_fused(xh, vec, src, dist, mask, unit, w, bias, cutoff=6.0, ti=8)
+    np.testing.assert_allclose(np.asarray(dx).reshape(b * n, h), np.asarray(dx_ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv).reshape(b * n, 3, h), np.asarray(dv_ref), atol=1e-4, rtol=1e-4)
