@@ -86,12 +86,25 @@ def reverse_diffusion(
     key: jax.Array,
     *,
     with_rotation: bool = True,
+    static_fn: Optional[Callable[[AtomsBatch], object]] = None,
 ) -> SampleResult:
-    """reverse_sde_sampling_rot / reverse_sde_sampling as a lax.scan."""
+    """reverse_sde_sampling_rot / reverse_sde_sampling as a lax.scan.
+
+    ``static_fn``: optional ``batch -> static`` precomputation run ONCE per
+    trajectory (after init placement); when given, the score function is
+    called as ``score_fn(batch, static)``.  Used to hoist the static slab-slab
+    graph candidates out of the 100-step loop
+    (:func:`adsorbdiff_tpu.models.base.prepare_static_graph`) — only
+    adsorbate-involving graph rows are recomputed per step.
+    """
     lo, hi, rlo, rhi, num_steps = _schedule_consts(params)
     ode = bool(params.get("ode", True))
     k_init, k_noise = jax.random.split(key)
     batch = init_placement(k_init, batch)
+    if static_fn is not None:
+        static = static_fn(batch)
+        base_score_fn = score_fn
+        score_fn = lambda cur: base_score_fn(cur, static)  # noqa: E731
 
     s = np.linspace(1.0, 0.0, num_steps + 1)[:-1]
     dt_arr = np.empty(num_steps, np.float32)

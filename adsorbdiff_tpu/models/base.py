@@ -6,12 +6,39 @@ this ``otf_graph``; stored-edge batches don't exist in the padded schema).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
 from adsorbdiff_tpu.data.schema import AtomsBatch
-from adsorbdiff_tpu.ops.pbc import NeighborList, radius_graph_pbc_batched
+from adsorbdiff_tpu.ops.pbc import (
+    NeighborList,
+    StaticGraphPart,
+    radius_graph_pbc_batched,
+    radius_graph_pbc_incremental_batched,
+    slab_static_topk_batched,
+)
+
+
+def prepare_static_graph(
+    batch: AtomsBatch,
+    *,
+    cutoff: float,
+    max_neighbors: int,
+    cell_reps: Tuple[int, int, int],
+) -> StaticGraphPart:
+    """Precompute the slab-slab neighbor candidates once per sampling
+    trajectory (only adsorbate atoms move between steps — see
+    :class:`adsorbdiff_tpu.ops.pbc.StaticGraphPart`)."""
+    return slab_static_topk_batched(
+        batch.pos,
+        batch.cell,
+        batch.atom_mask,
+        batch.ads_mask,
+        radius=cutoff,
+        max_neighbors=max_neighbors,
+        reps=cell_reps,
+    )
 
 
 def generate_graph(
@@ -20,6 +47,8 @@ def generate_graph(
     cutoff: float,
     max_neighbors: int,
     cell_reps: Tuple[int, int, int],
+    static_graph: Optional[StaticGraphPart] = None,
+    max_ads: int = 16,
 ) -> Tuple[NeighborList, jnp.ndarray, jnp.ndarray]:
     """Build the PBC neighbor table plus unit edge vectors.
 
@@ -28,15 +57,32 @@ def generate_graph(
     — the reference's ``edge_vector`` convention
     (ref: models/painn/painn_denoising.py:363-368, with the same 1e-3
     zero-distance clamp).
+
+    With ``static_graph`` (from :func:`prepare_static_graph`), only the
+    adsorbate-involving candidates are recomputed — exact same table, ~10x
+    less top-k work per sampling step.
     """
-    nl = radius_graph_pbc_batched(
-        batch.pos,
-        batch.cell,
-        batch.atom_mask,
-        radius=cutoff,
-        max_neighbors=max_neighbors,
-        reps=cell_reps,
-    )
+    if static_graph is not None:
+        nl = radius_graph_pbc_incremental_batched(
+            batch.pos,
+            batch.cell,
+            batch.atom_mask,
+            batch.ads_mask,
+            static_graph,
+            radius=cutoff,
+            max_neighbors=max_neighbors,
+            reps=cell_reps,
+            max_ads=max_ads,
+        )
+    else:
+        nl = radius_graph_pbc_batched(
+            batch.pos,
+            batch.cell,
+            batch.atom_mask,
+            radius=cutoff,
+            max_neighbors=max_neighbors,
+            reps=cell_reps,
+        )
     dist = jnp.where(nl.dist < 1e-3, 1e-3, nl.dist)
     unit = nl.vec / dist[..., None]
     unit = jnp.where(nl.mask[..., None], unit, 0.0)

@@ -247,9 +247,10 @@ class PaiNN(nn.Module):
     compute_dtype: Optional[str] = None  # e.g. "bfloat16": message/update
     # matmuls and edge tensors in bf16 (params + heads stay f32)
     use_pallas: bool = False  # fused VMEM message kernel (gaussian/poly basis only)
+    max_ads: int = 16  # static bound on adsorbate atoms (incremental graphs)
 
     @nn.compact
-    def __call__(self, batch: AtomsBatch):
+    def __call__(self, batch: AtomsBatch, static_graph=None):
         # The Pallas message kernel recomputes the radial basis in-VMEM
         # assuming gaussian RBF x polynomial envelope and has no custom VJP
         # yet — gate it to inference (sampling) and the published basis so a
@@ -266,7 +267,8 @@ class PaiNN(nn.Module):
                 )
 
         nl, edge_dist, edge_unit = generate_graph(
-            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps,
+            static_graph=static_graph, max_ads=self.max_ads,
         )
 
         z = batch.atomic_numbers

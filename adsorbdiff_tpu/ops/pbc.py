@@ -184,6 +184,169 @@ def radius_graph_pbc(
     return NeighborList(src=src, cell_offsets=cell_offsets, vec=vec, dist=dist, mask=mask)
 
 
+class StaticGraphPart(NamedTuple):
+    """Precomputed slab-source neighbor candidates for incremental rebuilds.
+
+    During diffusion sampling only the (few) adsorbate atoms move; slab-slab
+    geometry — >90% of all edges — is constant across the whole 100-step
+    trajectory (ref structure being beaten: denoising_torch.py:198-367 rebuilds
+    the entire graph every step).  ``neg_d2``/``flat_idx`` hold each SLAB
+    target's K nearest slab-source periodic images in the full builder's
+    encoding (flat candidate index = src * n_images + image); adsorbate-target
+    rows are all-invalid (they are refreshed every step).
+    """
+
+    neg_d2: jnp.ndarray  # [*, N, K] -d^2 of static candidates (-big = invalid)
+    flat_idx: jnp.ndarray  # [*, N, K] int32 flat candidate index
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors", "reps", "radius"))
+def slab_static_topk(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    ads_mask: jnp.ndarray,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> StaticGraphPart:
+    """Static part of the incremental graph: slab targets x slab sources."""
+    n = pos.shape[0]
+    k = max_neighbors
+    offsets_int = jnp.asarray(_offset_grid(reps))
+    c = offsets_int.shape[0]
+    offsets_cart = offsets_int.astype(pos.dtype) @ cell
+
+    slab = atom_mask & jnp.logical_not(ads_mask)
+    src_img = pos[None, :, None, :] + offsets_cart[None, None, :, :]
+    diff = src_img - pos[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [N, N, C]
+    valid = slab[:, None, None] & slab[None, :, None]
+    valid &= d2 > 1.0e-4
+    valid &= d2 <= radius * radius
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2_flat = jnp.where(valid, d2, big).reshape(n, n * c)
+    neg_top, flat_idx = _two_stage_top_k(-d2_flat, k)
+    return StaticGraphPart(neg_d2=neg_top, flat_idx=flat_idx.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors", "reps", "radius", "max_ads"))
+def radius_graph_pbc_incremental(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    ads_mask: jnp.ndarray,
+    static: StaticGraphPart,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+    max_ads: int,
+) -> NeighborList:
+    """Incremental PBC radius graph: merge the static slab-slab candidates
+    with fresh adsorbate-source candidates, and fully refresh the (at most
+    ``max_ads``) adsorbate-target rows.
+
+    Exactness: top-K of (top-K(slab sources) ∪ all adsorbate-source
+    candidates) equals top-K over all candidates, because the static part
+    already keeps K survivors of the slab-only pool and the two pools are
+    disjoint — verified against :func:`radius_graph_pbc` in
+    tests/test_pbc.py.  Requires the true adsorbate count <= ``max_ads``.
+    """
+    n = pos.shape[0]
+    k = max_neighbors
+    a = max_ads
+    offsets_int = jnp.asarray(_offset_grid(reps))
+    c = offsets_int.shape[0]
+    offsets_cart = offsets_int.astype(pos.dtype) @ cell
+    big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+    r2 = radius * radius
+
+    # fixed-size adsorbate index set (top_k picks mask==1 rows, lowest index first)
+    ads_val, ads_idx = jax.lax.top_k(ads_mask.astype(jnp.int32), a)
+    ads_valid = ads_val > 0  # [A]
+    ads_pos = pos[ads_idx]  # [A, 3]
+
+    # 1) full refresh of adsorbate-target rows: all sources, all images
+    src_img = pos[None, :, None, :] + offsets_cart[None, None, :, :]  # [1, N, C, 3]
+    diff_t = src_img - ads_pos[:, None, None, :]  # [A, N, C, 3]
+    d2_t = jnp.sum(diff_t * diff_t, axis=-1)
+    valid_t = ads_valid[:, None, None] & atom_mask[None, :, None]
+    valid_t &= (d2_t > 1.0e-4) & (d2_t <= r2)
+    d2_t_flat = jnp.where(valid_t, d2_t, big).reshape(a, n * c)
+    neg_t, fidx_t = _two_stage_top_k(-d2_t_flat, k)  # [A, K]
+
+    # 2) fresh adsorbate-source candidates for every target
+    ads_img = ads_pos[None, :, None, :] + offsets_cart[None, None, :, :]  # [1, A, C, 3]
+    diff_d = ads_img - pos[:, None, None, :]  # [N, A, C, 3]
+    d2_d = jnp.sum(diff_d * diff_d, axis=-1)
+    valid_d = atom_mask[:, None, None] & ads_valid[None, :, None]
+    valid_d &= (d2_d > 1.0e-4) & (d2_d <= r2)
+    neg_d = -jnp.where(valid_d, d2_d, big).reshape(n, a * c)
+    fidx_d = (ads_idx[:, None] * c + jnp.arange(c)[None, :]).reshape(a * c)
+    fidx_d = jnp.broadcast_to(fidx_d[None, :], (n, a * c))
+
+    # 3) merge static + dynamic pools per target (K + A*C candidates)
+    cand_neg = jnp.concatenate([static.neg_d2, neg_d], axis=1)
+    cand_idx = jnp.concatenate([static.flat_idx, fidx_d.astype(jnp.int32)], axis=1)
+    neg_m, sel = jax.lax.top_k(cand_neg, k)
+    fidx_m = jnp.take_along_axis(cand_idx, sel, axis=1)
+
+    # 4) overwrite adsorbate-target rows (guard padded A-slots: their ads_idx
+    # points at a real atom whose merged row must survive)
+    neg_rows = jnp.where(ads_valid[:, None], neg_t, neg_m[ads_idx])
+    idx_rows = jnp.where(ads_valid[:, None], fidx_t.astype(jnp.int32), fidx_m[ads_idx])
+    neg = neg_m.at[ads_idx].set(neg_rows)
+    fidx = fidx_m.at[ads_idx].set(idx_rows)
+
+    # 5) decode to the NeighborList layout (same as radius_graph_pbc)
+    src = (fidx // c).astype(jnp.int32)
+    img = fidx % c
+    mask = (-neg) < big
+    cell_offsets = offsets_int[img]
+    vec = pos[src] + cell_offsets.astype(pos.dtype) @ cell - pos[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    vec = jnp.where(mask[..., None], vec, 0.0)
+    dist = jnp.where(mask, dist, 0.0)
+    src = jnp.where(mask, src, 0)
+    return NeighborList(src=src, cell_offsets=cell_offsets, vec=vec, dist=dist, mask=mask)
+
+
+def slab_static_topk_batched(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    ads_mask: jnp.ndarray,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> StaticGraphPart:
+    """vmapped :func:`slab_static_topk` over a leading system axis."""
+    fn = functools.partial(slab_static_topk, radius=radius, max_neighbors=max_neighbors, reps=reps)
+    return jax.vmap(fn)(pos, cell, atom_mask, ads_mask)
+
+
+def radius_graph_pbc_incremental_batched(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    ads_mask: jnp.ndarray,
+    static: StaticGraphPart,
+    *,
+    radius: float,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+    max_ads: int,
+) -> NeighborList:
+    """vmapped :func:`radius_graph_pbc_incremental` over a leading system axis."""
+    fn = functools.partial(
+        radius_graph_pbc_incremental, radius=radius, max_neighbors=max_neighbors, reps=reps, max_ads=max_ads
+    )
+    return jax.vmap(fn)(pos, cell, atom_mask, ads_mask, static)
+
+
 def radius_graph_pbc_batched(
     pos: jnp.ndarray,
     cell: jnp.ndarray,

@@ -55,16 +55,22 @@ def main() -> None:
     # can never be neighbors — identical physics, 3x fewer graph candidates.
     # use_pallas: fused VMEM message-consumer kernel (inference-only) fed by
     # bf16 gathers — same-session A/B vs the XLA f32 path: +50% (docs/PERF.md).
-    model = PaiNN(sampling=True, cell_reps=(2, 2, 0), use_pallas=True, compute_dtype="bfloat16")
+    model = PaiNN(sampling=True, cell_reps=(2, 2, 0), use_pallas=True, compute_dtype="bfloat16", max_ads=8)
     variables = model.init(jax.random.PRNGKey(0), batch)
 
-    def score_fn(cur):
-        out1, out2 = model.apply(variables, cur)
+    def score_fn(cur, static):
+        out1, out2 = model.apply(variables, cur, static)
         out2 = jnp.where(cur.fixed[..., None], 0.0, out2)
         return out1, out2
 
+    # incremental graphs: slab-slab candidates are hoisted out of the 100-step
+    # scan (only the adsorbate moves); per step only adsorbate-involving graph
+    # rows are recomputed — exact same neighbor table (tests/test_pbc.py)
+    from adsorbdiff_tpu.models.base import prepare_static_graph
+
+    static_fn = lambda b: prepare_static_graph(b, cutoff=12.0, max_neighbors=50, cell_reps=(2, 2, 0))  # noqa: E731
     params = dict(num_steps=100, ads_std_low=0.1, ads_std_high=10.0, rot_std_low=0.01, rot_std_high=1.55, ode=True)
-    sample = jax.jit(lambda b, k: reverse_diffusion(score_fn, b, params, k))
+    sample = jax.jit(lambda b, k: reverse_diffusion(score_fn, b, params, k, static_fn=static_fn))
 
     # compile + warm; NOTE on timing: through the remote-TPU tunnel,
     # block_until_ready does not reliably fence execution, so reps are chained

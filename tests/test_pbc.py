@@ -156,3 +156,78 @@ def test_min_image_diff_small(rng):
     pred = target + shift + 0.01
     d = min_image_diff(pred, target, cell)
     np.testing.assert_allclose(np.asarray(d), 0.01 * np.ones((8, 3)), atol=1e-4)
+
+
+def test_incremental_graph_matches_full(rng):
+    """Incremental rebuild (static slab-slab + fresh adsorbate rows) must
+    reproduce radius_graph_pbc exactly — including after the adsorbate moves
+    away from the positions the static part was prepared at."""
+    from adsorbdiff_tpu.ops.pbc import radius_graph_pbc_incremental, slab_static_topk
+
+    pos, cell = make_system(rng, n=14)
+    n = len(pos)
+    ads = np.zeros(n, bool)
+    ads[-3:] = True  # last 3 atoms are the adsorbate
+    pos[-3:] += np.array([0.5, 0.5, 3.0], np.float32)
+    atom_mask = np.ones(n, bool)
+    atom_mask[-1] = False  # one padded slot inside the adsorbate block
+    ads[-1] = False
+    radius, k = 5.0, 10
+    reps = compute_cell_reps(cell, radius)
+
+    static = slab_static_topk(
+        jnp.asarray(pos), jnp.asarray(cell), jnp.asarray(atom_mask), jnp.asarray(ads),
+        radius=radius, max_neighbors=k, reps=reps,
+    )
+    # move the adsorbate, as the sampler does between steps
+    moved = pos.copy()
+    moved[-3:-1] += np.asarray(rng.normal(0, 1.5, (2, 3)), np.float32)
+
+    for max_ads in (4, 8):
+        inc = radius_graph_pbc_incremental(
+            jnp.asarray(moved), jnp.asarray(cell), jnp.asarray(atom_mask), jnp.asarray(ads), static,
+            radius=radius, max_neighbors=k, reps=reps, max_ads=max_ads,
+        )
+        full = radius_graph_pbc(
+            jnp.asarray(moved), jnp.asarray(cell), jnp.asarray(atom_mask),
+            radius=radius, max_neighbors=k, reps=reps,
+        )
+        np.testing.assert_array_equal(np.asarray(inc.mask), np.asarray(full.mask))
+        np.testing.assert_array_equal(np.asarray(inc.src), np.asarray(full.src))
+        np.testing.assert_array_equal(np.asarray(inc.cell_offsets), np.asarray(full.cell_offsets))
+        np.testing.assert_allclose(np.asarray(inc.dist), np.asarray(full.dist), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(inc.vec), np.asarray(full.vec), atol=1e-5)
+
+
+def test_incremental_graph_model_parity(rng):
+    """PaiNN forward with static_graph == without, after adsorbate motion."""
+    from adsorbdiff_tpu.data.schema import System, collate
+    from adsorbdiff_tpu.models.base import prepare_static_graph
+    from adsorbdiff_tpu.models.painn import PaiNN
+
+    systems = []
+    for i in range(2):
+        cell = np.diag([8.0, 8.0, 24.0]).astype(np.float32)
+        n_slab, n_ads = 10, 3
+        slab = (rng.random((n_slab, 3)) * [1, 1, 0.3]) @ cell
+        ads = rng.random((n_ads, 3)).astype(np.float32) + np.array([4, 4, 9], np.float32)
+        pos = np.concatenate([slab, ads]).astype(np.float32)
+        tags = np.array([0] * 5 + [1] * 5 + [2] * n_ads, np.int32)
+        z = np.concatenate([rng.integers(20, 60, n_slab), rng.integers(1, 9, n_ads)])
+        systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags, sid=i))
+    batch = collate(systems, max_atoms=16)
+
+    kw = dict(hidden_channels=32, num_layers=2, num_rbf=8, cutoff=6.0, max_neighbors=12,
+              cell_reps=(1, 1, 0), so3_denoising=True, max_ads=4)
+    model = PaiNN(**kw)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    static = prepare_static_graph(batch, cutoff=6.0, max_neighbors=12, cell_reps=(1, 1, 0))
+    # move adsorbate atoms
+    delta = np.zeros(batch.pos.shape, np.float32)
+    delta[np.asarray(batch.ads_mask)] = rng.normal(0, 0.8, (int(np.asarray(batch.ads_mask).sum()), 3))
+    moved = batch.replace(pos=batch.pos + jnp.asarray(delta))
+
+    ref = model.apply(variables, moved)
+    inc = model.apply(variables, moved, static)
+    np.testing.assert_allclose(np.asarray(inc[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(inc[1]), np.asarray(ref[1]), atol=1e-5, rtol=1e-5)
