@@ -5,12 +5,15 @@ etc., ref: README.md:55-63; saved as {state_dict, ema, config, ...} by
 base_trainer.py:625-684 with DDP ``module.``-prefix quirks :476-495).  This
 module maps a PaiNN state_dict's tensors onto our flax parameter tree.
 
-Caveats (documented, by design):
-- our PaiNN is a TPU-first re-design, not a weight-port; layer shapes match
-  the reference trunk (Dense kernels transpose), but graph construction
-  differs (strict top-K, no edge symmetrization), so imported weights
-  reproduce the reference approximately, not bit-exactly;
-- works from a raw dict of numpy arrays too, so it's testable without torch.
+Exactness: the PaiNN map is verified against a reference-math torch oracle
+(tests/test_torch_import.py + committed golden fixture): given the same edge
+list, the mapped flax forward agrees with the reference forward to f32
+tolerance for both heads, including ScaleFactor buffers.  The only remaining
+divergence is graph construction when the neighbor cap binds (strict top-K
+vs the reference's degeneracy-tolerant cap + symmetrization — see
+ops/pbc.py module docstring); with max_neighbors at the published 50 this
+affects only systems with >50 in-radius neighbors per atom.
+Works from a raw dict of numpy arrays too, so it's testable without torch.
 """
 from __future__ import annotations
 

@@ -1,0 +1,155 @@
+"""Torch-checkpoint import parity: mapped weights reproduce the reference math.
+
+Two layers of evidence (VERDICT round-1 item 3):
+1. live-oracle test: a test-only torch implementation of the reference PaiNN
+   (tests/torch_ref_painn.py, reference parameter names/layouts) is run on the
+   SAME edge list our graph builder emits; our flax forward with the mapped
+   state_dict must agree to f32 tolerance.  With max_neighbors above the true
+   degree both graph semantics coincide (no cap, no symmetrization effect), so
+   this isolates weight mapping + math.
+2. committed golden fixture (tests/fixtures/painn_golden.npz): the same
+   state_dict + inputs + reference outputs, testable without torch.
+
+Remaining divergence vs the real reference (documented, bounded by tests
+elsewhere): neighbor-cap tie handling when the cap binds (ops/pbc.py module
+docstring) — not exercised here by construction.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.data.schema import System, collate
+from adsorbdiff_tpu.models.painn import PaiNN
+from adsorbdiff_tpu.ops.pbc import radius_graph_pbc_batched
+from adsorbdiff_tpu.train.torch_import import painn_state_dict_to_params
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "painn_golden.npz")
+KW = dict(hidden_channels=32, num_layers=2, num_rbf=8, cutoff=6.0, max_neighbors=32, cell_reps=(1, 1, 0))
+
+
+def _make_batch(rng, b=2, n=11, n_pad=16):
+    systems = []
+    for i in range(b):
+        cell = np.diag([8.0, 8.0, 24.0]).astype(np.float32)
+        pos = ((rng.random((n, 3)) * [1, 1, 0.3]) @ cell).astype(np.float32)
+        pos[-3:, 2] += 3.0
+        tags = np.array([0] * (n - 3) + [2] * 3, np.int32)
+        z = rng.integers(1, 83, n)
+        systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags, sid=i))
+    return collate(systems, max_atoms=n_pad)
+
+
+def _edge_lists(batch):
+    """Export our builder's neighbor table as per-system (edge_index, dist, unit)."""
+    nl = radius_graph_pbc_batched(
+        batch.pos, batch.cell, batch.atom_mask,
+        radius=KW["cutoff"], max_neighbors=KW["max_neighbors"], reps=KW["cell_reps"],
+    )
+    dist = np.where(np.asarray(nl.dist) < 1e-3, 1e-3, np.asarray(nl.dist))
+    unit = np.where(np.asarray(nl.mask)[..., None], np.asarray(nl.vec) / dist[..., None], 0.0)
+    out = []
+    for b in range(batch.pos.shape[0]):
+        m = np.asarray(nl.mask[b])
+        tgt, k = np.nonzero(m)
+        src = np.asarray(nl.src[b])[tgt, k]
+        out.append((np.stack([src, tgt]), dist[b][tgt, k], unit[b][tgt, k]))
+    return out
+
+
+def _our_forward(sd, batch):
+    model = PaiNN(**KW, so3_denoising=True)
+    variables = painn_state_dict_to_params(sd, num_layers=KW["num_layers"])
+    f1, f2 = model.apply(variables, batch)
+    return np.asarray(f1), np.asarray(f2)
+
+
+def _assert_parity(batch, f1, f2, want1, want2):
+    mask = np.asarray(batch.atom_mask)
+    np.testing.assert_allclose(f1[mask], want1[mask], atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(f2[mask], want2[mask], atol=2e-5, rtol=1e-4)
+
+
+def test_import_matches_torch_reference(rng):
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref_painn import RefPaiNN
+
+    torch.manual_seed(0)
+    batch = _make_batch(rng)
+    ref = RefPaiNN(h=KW["hidden_channels"], num_layers=KW["num_layers"],
+                   num_rbf=KW["num_rbf"], cutoff=KW["cutoff"])
+    ref.eval()
+
+    b, n_pad = batch.pos.shape[:2]
+    want1 = np.zeros((b, n_pad, 3), np.float32)
+    want2 = np.zeros((b, n_pad, 3), np.float32)
+    for i, (edge_index, dist, unit) in enumerate(_edge_lists(batch)):
+        n_real = int(np.asarray(batch.atom_mask[i]).sum())
+        with torch.no_grad():
+            o1, o2 = ref(
+                torch.asarray(np.asarray(batch.atomic_numbers[i][:n_real]), dtype=torch.long),
+                torch.asarray(edge_index, dtype=torch.long),
+                torch.asarray(dist, dtype=torch.float32),
+                torch.asarray(unit, dtype=torch.float32),
+            )
+        want1[i, :n_real] = o1.numpy()
+        want2[i, :n_real] = o2.numpy()
+
+    f1, f2 = _our_forward(ref.state_dict(), batch)
+    _assert_parity(batch, f1, f2, want1, want2)
+
+
+def test_import_matches_golden_fixture():
+    """Torch-free regression: committed reference state_dict + outputs."""
+    data = np.load(FIXTURE)
+    sd = {k[len("sd."):]: data[k] for k in data.files if k.startswith("sd.")}
+    systems = []
+    for i in range(int(data["n_systems"])):
+        n = int(data[f"natoms.{i}"])
+        systems.append(System(
+            pos=data["pos"][i, :n], atomic_numbers=data["z"][i, :n],
+            cell=data["cell"][i], tags=data["tags"][i, :n], sid=i,
+        ))
+    batch = collate(systems, max_atoms=data["pos"].shape[1])
+    f1, f2 = _our_forward(sd, batch)
+    _assert_parity(batch, f1, f2, data["out1"], data["out2"])
+
+
+if __name__ == "__main__":
+    # regenerate the committed fixture (requires torch)
+    import torch
+
+    from tests.torch_ref_painn import RefPaiNN
+
+    rng = np.random.default_rng(0)
+    torch.manual_seed(0)
+    batch = _make_batch(rng)
+    ref = RefPaiNN(h=KW["hidden_channels"], num_layers=KW["num_layers"],
+                   num_rbf=KW["num_rbf"], cutoff=KW["cutoff"])
+    ref.eval()
+    b, n_pad = batch.pos.shape[:2]
+    out1 = np.zeros((b, n_pad, 3), np.float32)
+    out2 = np.zeros((b, n_pad, 3), np.float32)
+    for i, (edge_index, dist, unit) in enumerate(_edge_lists(batch)):
+        n_real = int(np.asarray(batch.atom_mask[i]).sum())
+        with torch.no_grad():
+            o1, o2 = ref(
+                torch.asarray(np.asarray(batch.atomic_numbers[i][:n_real]), dtype=torch.long),
+                torch.asarray(edge_index, dtype=torch.long),
+                torch.asarray(dist, dtype=torch.float32),
+                torch.asarray(unit, dtype=torch.float32),
+            )
+        out1[i, :n_real] = o1.numpy()
+        out2[i, :n_real] = o2.numpy()
+
+    payload = {f"sd.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    payload.update(
+        n_systems=np.asarray(b), pos=np.asarray(batch.pos), z=np.asarray(batch.atomic_numbers),
+        cell=np.asarray(batch.cell), tags=np.asarray(batch.tags), out1=out1, out2=out2,
+    )
+    for i in range(b):
+        payload[f"natoms.{i}"] = np.asarray(int(np.asarray(batch.atom_mask[i]).sum()))
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    np.savez_compressed(FIXTURE, **payload)
+    print("wrote", FIXTURE)
