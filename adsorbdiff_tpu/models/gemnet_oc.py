@@ -18,10 +18,16 @@ data layout):
   pair of einsums over (basis-emb, neighbor) axes;
 - directed-edge bookkeeping (``id_swap``, edge symmetrization,
   ``repeat_blocks``) disappears: triplets/quads are enumerated *per output
-  edge*, so messages land directly on the edge that consumes them.  The
-  reference's ``symmetric_mp`` second up-projection has no analogue — each
-  edge direction runs its own aggregation (documented divergence; this is a
-  re-design, not a weight-port);
+  edge*, so messages land directly on the edge that consumes them;
+- the reference's ``symmetric_mp`` (ref: interaction_block.py:445-512,
+  :595-668 — each directed edge also receives its REVERSE edge's aggregated
+  message through a second up-projection, summed /sqrt(2)) is implemented
+  densely: the reverse of table entry (i, k) is located by matching
+  (source, -offset) in the source atom's row, gathered with a flat
+  take_along_axis.  ``symmetric_mp=True`` is the default (matches the
+  reference's hardcoded behavior and its checkpoint layout; reverse edges
+  missing from the table — possible only when the strict top-K cap binds
+  asymmetrically — contribute zero);
 - bases: gaussian RBF x polynomial envelope, circular basis = Y_l0 Legendre
   (``spherical_harmonics``), spherical basis = Legendre outer product
   (``legendre_outer``) — ref: layers/spherical_basis.py:15-143.
@@ -170,6 +176,33 @@ def _same_edge(src_a, off_a, src_b, off_b) -> jnp.ndarray:
     return (src_a == src_b) & jnp.all(off_a == off_b, axis=-1)
 
 
+def _reverse_edge_table(nl) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Locate each edge's reverse in the dense neighbor table.
+
+    The reverse of entry (i, k) — edge src[i,k] -> i with offset
+    -cell_offsets[i,k] — lives in row src[i,k] at the slot whose (source,
+    offset) matches (i, -off).  Returns (rev_flat [B,N,K] int32 flat index
+    src*K + rev_k, rev_valid [B,N,K] bool).  This is the dense analogue of
+    the reference's ``id_swap`` (ref: gemnet_oc.py:700-819, built there via
+    edge symmetrization + ``get_edge_id``).
+    """
+    b, n, k = nl.src.shape
+    src_rows = _gather_rows(nl.src, nl.src)  # [B,N,K,K']
+    off_rows = _gather_rows(nl.cell_offsets, nl.src)  # [B,N,K,K',3]
+    mask_rows = _gather_rows(nl.mask, nl.src)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)[:, :, None, None]
+    match = (
+        (src_rows == i_idx)
+        & jnp.all(off_rows == -nl.cell_offsets[:, :, :, None, :], axis=-1)
+        & mask_rows
+        & nl.mask[..., None]
+    )
+    rev_k = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    rev_valid = jnp.any(match, axis=-1)
+    rev_flat = nl.src * k + rev_k
+    return rev_flat, rev_valid
+
+
 # --------------------------------------------------------------------------
 # the model
 # --------------------------------------------------------------------------
@@ -215,6 +248,7 @@ class GemNetOC(nn.Module):
     edge_atom_interaction: bool = True
     atom_interaction: bool = True
     qint_tags: Tuple[int, ...] = (1, 2)
+    symmetric_mp: bool = True  # reference hardcodes True (interaction_block.py:116-145)
     num_elements: int = 83
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
     mode: str = "s2ef"  # "s2ef" | "denoising"
@@ -400,6 +434,17 @@ class GemNetOC(nn.Module):
         xs_f.append(xf)
 
         inv_sqrt_2 = 1 / math.sqrt(2.0)
+
+        if self.symmetric_mp:
+            rev_flat, rev_valid = _reverse_edge_table(nl)
+            bsz, n_atoms, k1 = nl.src.shape
+
+            def swap_gather(x):
+                """x[rev(e)] for every table entry e (zero where absent)."""
+                flat = x.reshape(bsz, n_atoms * k1, x.shape[-1])
+                got = jnp.take_along_axis(flat, rev_flat.reshape(bsz, n_atoms * k1, 1), axis=1)
+                got = got.reshape(bsz, n_atoms, k1, x.shape[-1])
+                return jnp.where(rev_valid[..., None], got, 0.0)
         n_eint = 2 + int(self.quad_interaction) + int(self.atom_edge_interaction)
         n_aint = 1 + int(self.edge_atom_interaction) + int(self.atom_interaction)
 
@@ -418,6 +463,9 @@ class GemNetOC(nn.Module):
                                     name=f"{name}_tint_bilinear")(cir_e2e, x_in, trip_mask_e2e)
             x_t = ScaleFactor(name=f"{name}_tint_scale_sum")(x_t)
             x_e2e = DenseLayer(self.emb_size_edge, name=f"{name}_tint_up")(x_t)
+            if self.symmetric_mp:
+                x_e2e_ac = DenseLayer(self.emb_size_edge, name=f"{name}_tint_up_ac")(x_t)
+                x_e2e = (x_e2e + swap_gather(x_e2e_ac)) * inv_sqrt_2
 
             x = x_skip + x_e2e
 
@@ -442,7 +490,11 @@ class GemNetOC(nn.Module):
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
                                         name=f"{name}_qint_bilinear")(quad_b, quad_x, quad_m)
                 x_q = ScaleFactor(name=f"{name}_qint_scale_sbf")(x_q)
-                x = x + DenseLayer(self.emb_size_edge, name=f"{name}_qint_up")(x_q)
+                x_q_up = DenseLayer(self.emb_size_edge, name=f"{name}_qint_up")(x_q)
+                if self.symmetric_mp:
+                    x_q_ac = DenseLayer(self.emb_size_edge, name=f"{name}_qint_up_ac")(x_q)
+                    x_q_up = (x_q_up + swap_gather(x_q_ac)) * inv_sqrt_2
+                x = x + x_q_up
 
             # --- atom->edge interaction (ref: TripletInteraction a2e) -------
             if self.atom_edge_interaction:
@@ -456,7 +508,11 @@ class GemNetOC(nn.Module):
                 x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                          name=f"{name}_aeint_bilinear")(cir_a2e, x_h_in, trip_mask_a2e)
                 x_ae = ScaleFactor(name=f"{name}_aeint_scale_sum")(x_ae)
-                x = x + DenseLayer(self.emb_size_edge, name=f"{name}_aeint_up")(x_ae)
+                x_ae_up = DenseLayer(self.emb_size_edge, name=f"{name}_aeint_up")(x_ae)
+                if self.symmetric_mp:
+                    x_ae_ac = DenseLayer(self.emb_size_edge, name=f"{name}_aeint_up_ac")(x_ae)
+                    x_ae_up = (x_ae_up + swap_gather(x_ae_ac)) * inv_sqrt_2
+                x = x + x_ae_up
 
             x = x * (1 / math.sqrt(n_eint))
 

@@ -19,14 +19,23 @@ import numpy as np
 
 
 def ensure_fitted(scale_factors: Any, warn: bool = False) -> bool:
-    """True if every scale factor deviates from its init (ref contract:
-    scaling/util.py — the reference raises before train/val/predict when
-    unfitted scales exist; we warn by default since fresh training fits
-    on the fly)."""
+    """Reference contract (ref: modules/scaling/util.py:8-30, called with
+    warn=True before train/validate/predict and withOUT warn — i.e. raising —
+    before run_relaxations, ocp_trainer.py:116/413/538): every ScaleFactor
+    still at its init value (1.0) counts as unfitted."""
     leaves = jax.tree.leaves(scale_factors)
     unfitted = [float(x) for x in leaves if np.allclose(np.asarray(x), 1.0)]
-    if unfitted and warn:
-        logging.warning(f"{len(unfitted)} scale factors are still at their init value (1.0)")
+    if unfitted:
+        msg = (
+            f"{len(unfitted)} scale factors are not fitted. Please make sure that you "
+            "either (1) load a checkpoint with fitted scale factors, (2) explicitly "
+            "load scale factors using the model.scale_file attribute, or (3) fit them "
+            "with adsorbdiff_tpu.train.scaling.fit_scale_factors."
+        )
+        if warn:
+            logging.warning(msg)
+        else:
+            raise ValueError(msg)
     return not unfitted
 
 
@@ -75,28 +84,52 @@ def fit_scale_factors(
 
 
 def load_scales_compat(scale_factors: Any, scale_file: Optional[str]) -> Any:
-    """Load a scale dict from an .npz/.json file into the collection
-    (ref: scaling/compat.py — .pt/.json loader).  Keys are matched by the
-    flax path suffix; unknown keys are warned about, missing ones kept."""
+    """Load a scale dict from a .pt/.json/.npz file into the collection
+    (ref: scaling/compat.py load_scales_compat).
+
+    Reference GemNet-OC scale names (module paths like
+    'int_blocks.0.trip_interaction.scale_rbf') are translated through the
+    import map; everything else is matched by flax path suffix (covers the
+    PaiNN 'upd_out_scalar_scale_i' names).  Unknown keys are warned about,
+    missing ones keep their current value.
+    """
     if not scale_file:
         return scale_factors
     import json
-    import os
 
-    if scale_file.endswith(".json"):
-        with open(scale_file) as f:
-            loaded = {k: float(v) for k, v in json.load(f).items()}
+    if scale_file.endswith(".json") or scale_file.endswith(".pt"):
+        from adsorbdiff_tpu.train.torch_import import load_scale_file
+
+        loaded = load_scale_file(scale_file)
     elif scale_file.endswith(".npz"):
         loaded = {k: float(v) for k, v in np.load(scale_file).items()}
     else:
-        raise ValueError(f"unsupported scale file '{scale_file}' (use .json or .npz)")
+        raise ValueError(f"unsupported scale file '{scale_file}' (use .pt/.json/.npz)")
+
+    gem_keys = {k: v for k, v in loaded.items() if k.startswith(("int_blocks.", "out_blocks."))}
+    if gem_keys:
+        from adsorbdiff_tpu.train.torch_import import gemnet_scale_dict_to_collection
+
+        translated = gemnet_scale_dict_to_collection(gem_keys)
+        loaded = {k: v for k, v in loaded.items() if k not in gem_keys}
+        loaded.update({name: float(d["scale"]) for name, d in translated.items()})
 
     paths, treedef = jax.tree_util.tree_flatten_with_path(scale_factors)
     out = []
     used = set()
     for path, val in paths:
         key = "/".join(str(getattr(p, "key", p)) for p in path)
-        match = next((k for k in loaded if key.endswith(k) or k.endswith(key)), None)
+        # the collection path ends in the leaf name '/scale'; scale-file keys
+        # may name the ScaleFactor module itself or include the leaf
+        base = key[: -len("/scale")] if key.endswith("/scale") else key
+        match = next(
+            (
+                k
+                for k in loaded
+                if k in (base, key) or base.endswith(k) or k.endswith(base) or key.endswith(k)
+            ),
+            None,
+        )
         if match is not None:
             out.append(jnp.asarray(loaded[match]))
             used.add(match)

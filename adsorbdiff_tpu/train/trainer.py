@@ -224,10 +224,18 @@ class BaseTrainer:
     def init_state(self, example_batch: AtomsBatch) -> TrainState:
         variables = self.model.init(jax.random.PRNGKey(self.seed), example_batch)
         params = variables["params"]
+        scale_factors = variables.get("scale_factors", {})
+        scale_file = self.model_cfg.get("scale_file")
+        if scale_file:
+            # ref: gemnet_relax.yml:87 + modules/scaling/compat.py — fitted
+            # scale factors shipped separately from the checkpoint
+            from adsorbdiff_tpu.train.scaling import load_scales_compat
+
+            scale_factors = load_scales_compat(scale_factors, scale_file)
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            scale_factors=variables.get("scale_factors", {}),
+            scale_factors=scale_factors,
             opt_state=self.tx.init(params),
             # distinct buffers: the step donates its input state, and donating
             # aliased params/ema twice is an XLA error
@@ -547,7 +555,10 @@ class DenoisingTrainer(BaseTrainer):
     def run_relaxations(self, split: str = "val") -> None:
         """Diffusion sampling over the relax dataset (ref: :750-951)."""
         from adsorbdiff_tpu.relaxation.ml_relaxation import DiffusionEngine
+        from adsorbdiff_tpu.train.scaling import ensure_fitted
 
+        # hard guard, matching the reference (sde_denoising_trainer.py:751)
+        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")))
         assert self.relax_batcher is not None, "no relax_dataset configured"
         engine = DiffusionEngine(self.score_fn, self.denoising_pos_params)
         traj_dir = (self.task_cfg.get("relax_opt", {}) or {}).get("traj_dir")
@@ -698,7 +709,11 @@ class S2EFTrainer(BaseTrainer):
     def run_relaxations(self, split: str = "val") -> None:
         """Batched L-BFGS over the relax dataset (ref: ocp_trainer.py:537-733)."""
         from adsorbdiff_tpu.relaxation.ml_relaxation import RelaxationEngine
+        from adsorbdiff_tpu.train.scaling import ensure_fitted
 
+        # hard guard, matching the reference (ocp_trainer.py:538): relaxation
+        # quality silently collapses with unfitted scale factors
+        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")))
         assert self.relax_batcher is not None, "no relax_dataset configured"
         relax_opt = dict(self.task_cfg.get("relax_opt", {}) or {})
         engine = RelaxationEngine(

@@ -135,3 +135,58 @@ def test_interactions_toggle(rng):
     v_off = m_off.init(jax.random.PRNGKey(3), batch)
     out_off = m_off.apply(v_off, batch)
     assert np.isfinite(np.asarray(out_off["energy"])).all()
+
+
+def test_reverse_edge_table(rng):
+    """Every edge's reverse is found at (src row, matching slot), and the
+    reverse relation is an involution wherever both directions are in-table."""
+    from adsorbdiff_tpu.models.gemnet_oc import _reverse_edge_table
+    from adsorbdiff_tpu.ops.pbc import radius_graph_pbc_batched
+
+    batch = make_batch(rng)
+    # max_neighbors above the true degree: the radius graph is then symmetric
+    nl = radius_graph_pbc_batched(
+        batch.pos, batch.cell, batch.atom_mask, radius=5.0, max_neighbors=64, reps=(1, 1, 0)
+    )
+    rev_flat, rev_valid = _reverse_edge_table(nl)
+    src, off, mask = (np.asarray(a) for a in (nl.src, nl.cell_offsets, nl.mask))
+    rf, rv = np.asarray(rev_flat), np.asarray(rev_valid)
+    b_, n_, k_ = src.shape
+    checked = 0
+    for b in range(b_):
+        for i in range(n_):
+            for k in range(k_):
+                if not mask[b, i, k]:
+                    assert not rv[b, i, k]
+                    continue
+                # with max_neighbors above the true degree, the radius graph is
+                # symmetric, so every edge's reverse must be found
+                assert rv[b, i, k], (b, i, k)
+                j, kk = rf[b, i, k] // k_, rf[b, i, k] % k_
+                assert j == src[b, i, k]
+                assert src[b, j, kk] == i
+                np.testing.assert_array_equal(off[b, j, kk], -off[b, i, k])
+                # involution
+                assert rf[b, j, kk] == i * k_ + k
+                checked += 1
+    assert checked > 50
+
+
+def test_symmetric_mp_toggles_output(rng, model_and_params):
+    """symmetric_mp must be live: grafting the symmetric tree's shared params
+    into the asymmetric variant changes the forward."""
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    out_sym = model.apply(variables, batch)
+
+    model_off = GemNetOC(**TINY, symmetric_mp=False)
+    v_off = model_off.init(jax.random.PRNGKey(0), batch)
+    # shared-param graft: the asymmetric tree is a subset of the symmetric one
+    import flax
+
+    flat_sym = flax.traverse_util.flatten_dict(variables)
+    flat_off = flax.traverse_util.flatten_dict(v_off)
+    grafted = flax.traverse_util.unflatten_dict({k: flat_sym[k] for k in flat_off})
+    out_off = model_off.apply(grafted, batch)
+    d = np.abs(np.asarray(out_sym["forces"]) - np.asarray(out_off["forces"])).max()
+    assert d > 1e-6

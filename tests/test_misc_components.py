@@ -48,7 +48,11 @@ def test_scale_factor_fitting(rng):
     model = PaiNN(**MODEL_KW, so3_denoising=False)
     batch = make_batch(rng)
     variables = model.init(jax.random.PRNGKey(0), batch)
-    assert not ensure_fitted(variables["scale_factors"])  # all at init
+    # all at init: warns (and returns False); without warn it raises like the
+    # reference scaling/util.py
+    assert not ensure_fitted(variables["scale_factors"], warn=True)
+    with pytest.raises(ValueError):
+        ensure_fitted(variables["scale_factors"])
     # blow up the scales, fitting should bring activations back toward unit RMS
     bad = jax.tree.map(lambda x: x * 4.0, variables["scale_factors"])
     fitted = fit_scale_factors(model, {"params": variables["params"], "scale_factors": bad}, [batch])

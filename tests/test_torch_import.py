@@ -153,3 +153,114 @@ if __name__ == "__main__":
     os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
     np.savez_compressed(FIXTURE, **payload)
     print("wrote", FIXTURE)
+
+
+# ---------------------------------------------------------------------------
+# GemNet-OC import map
+# ---------------------------------------------------------------------------
+GEMNET_MAP_KW = dict(
+    num_blocks=2, num_atom=1, num_output_afteratom=1, num_before_skip=1,
+    num_after_skip=1, num_concat=1, num_atom_emb_layers=1, num_global_out_layers=1,
+)
+
+
+def _tiny_gemnet():
+    from tests.test_gemnet_oc import TINY
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+
+    return GemNetOC(**TINY), TINY
+
+
+def _synthesize_reference_sd(variables, tiny):
+    """Build a reference-named state_dict from our init tree using inverse
+    transforms derived independently from the reference source:
+    - torch Linear stores [out, in]  -> transpose of our kernel;
+    - BasisEmbedding no-sph stores [F, R] -> transpose;
+    - BasisEmbedding sph stores [R, S, F], and the reference forward uses the
+      effective coefficient w.reshape(R,-1)[r, f*S + s] for (rad r, sph s ->
+      channel f) (efficient.py:100-104); invert that reinterpretation.
+    """
+    import flax
+
+    from adsorbdiff_tpu.train.torch_import import _gemnet_name_map
+
+    flat = {"/".join(p): v for p, v in flax.traverse_util.flatten_dict(variables).items()}
+    sph_sizes = {
+        "mlp_cbf_tint": tiny["num_spherical"], "mlp_cbf_qint": tiny["num_spherical"],
+        "mlp_cbf_aeint": tiny["num_spherical"], "mlp_cbf_eaint": tiny["num_spherical"],
+        "mlp_sbf_qint": tiny["num_spherical"] ** 2,
+    }
+    sd = {}
+    for ref_key, path, kind in _gemnet_name_map(**GEMNET_MAP_KW):
+        ours = np.asarray(flat["/".join(path)])
+        if kind in ("linear_T", "basis_T"):
+            sd[ref_key] = ours.T
+        elif kind == "basis_sph":
+            s = sph_sizes[path[1]]
+            r = ours.shape[0]
+            f = ours.shape[1] // s
+            # ours[r, s*F + f] must equal ref.reshape(R,-1)[r, f*S + s]
+            ref_flat = np.zeros_like(ours)
+            o3 = ours.reshape(r, s, f)
+            for si in range(s):
+                for fi in range(f):
+                    ref_flat[:, fi * s + si] = o3[:, si, fi]
+            sd[ref_key] = ref_flat.reshape(r, s, f)
+        elif kind == "scale":
+            sd[ref_key] = ours.reshape(())
+        else:
+            sd[ref_key] = ours
+    return sd
+
+
+def test_gemnet_import_roundtrip(rng):
+    """Synthetic reference state_dict -> mapper -> exact equality with our
+    init tree (all 159 leaves incl. scale buffers), and the forward runs."""
+    import jax
+
+    import flax
+
+    from adsorbdiff_tpu.train.torch_import import gemnet_state_dict_to_params
+    from tests.test_painn import make_batch
+
+    model, tiny = _tiny_gemnet()
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    sd = _synthesize_reference_sd(variables, tiny)
+
+    mapped = gemnet_state_dict_to_params(sd, **GEMNET_MAP_KW)
+    flat_want = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, dict(variables)))
+    flat_got = flax.traverse_util.flatten_dict(mapped)
+    assert set(flat_got) == set(flat_want), (
+        sorted(set(flat_want) - set(flat_got))[:5], sorted(set(flat_got) - set(flat_want))[:5]
+    )
+    for k in flat_want:
+        np.testing.assert_array_equal(flat_got[k], flat_want[k], err_msg=str(k))
+
+    out = model.apply(mapped, batch)
+    assert np.isfinite(np.asarray(out["energy"])).all()
+
+
+def test_gemnet_scale_file_loading(tmp_path):
+    """Scale files (.json here; .pt same path) map reference module-path
+    names onto our scale_factors collection (ref: scaling/compat.py)."""
+    import json
+
+    from adsorbdiff_tpu.train.torch_import import gemnet_scale_dict_to_collection, load_scale_file
+
+    scales = {
+        "int_blocks.0.trip_interaction.scale_rbf": 1.5,
+        "int_blocks.1.atom_update.scale_sum.scale_factor": 2.5,
+        "out_blocks.0.scale_rbf_F": 0.25,
+        "comment": "gemnet-oc",
+        "not.a.real.name": 9.0,
+    }
+    p = tmp_path / "scales.json"
+    p.write_text(json.dumps(scales))
+    loaded = load_scale_file(str(p))
+    assert "comment" not in loaded
+    coll = gemnet_scale_dict_to_collection(loaded)
+    assert float(coll["int_block_0_tint_scale_rbf"]["scale"]) == 1.5
+    assert float(coll["int_block_1_au_scale"]["scale"]) == 2.5
+    assert float(coll["out_block_0_scale_rbf_F"]["scale"]) == 0.25
+    assert "not.a.real.name" not in str(coll)
