@@ -19,8 +19,16 @@ equiformer_v2_denoising.py:55-318) on the dense padded ``[B, N, K]`` layout:
   added to the l=0 channel (:258-264, zeroed when sampling), and the second
   rotation-score head (``FOR_denoising``, :310-318) are all included.
 
-Dropout/DropPath/stochastic depth are omitted (inference/clean-training
-build); alpha_drop etc. are accepted and ignored, documented here.
+Training regularization matches the reference drop module
+(ref: equiformer_v2/drop.py:13-151, transformer_block.py:342-343, :686-706):
+``alpha_drop`` is standard dropout on the post-softmax attention weights,
+``drop_path_rate`` is per-graph stochastic depth on both residual branches
+(GraphDropPath — graph == batch row in the dense layout), and ``proj_drop``
+masks whole channels per node, shared across the SH-coefficient axis so it
+stays equivariant (EquivariantDropoutArraySphericalHarmonics,
+drop_graph=False).  All three are active only when ``training=True`` and are
+keyed off the flax ``"dropout"`` RNG collection; the force/energy heads get
+no dropout (ref: equiformer_v2_oc20.py:402 passes alpha_drop=0.0).
 """
 from __future__ import annotations
 
@@ -167,6 +175,8 @@ class SO2Attention(nn.Module):
     attn_alpha: int
     attn_value: int
     c_out: int
+    alpha_drop: float = 0.0
+    training: bool = False
 
     @nn.compact
     def __call__(self, x, nl, d_mats, d_mats_inv, rad, edge_inv):
@@ -193,6 +203,11 @@ class SO2Attention(nn.Module):
         logits = jnp.where(nl.mask[..., None], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=2)
         attn = jnp.where(nl.mask[..., None], attn, 0.0)
+        if self.training and self.alpha_drop > 0.0:
+            # post-softmax attention dropout (ref: transformer_block.py:342-343)
+            keep = 1.0 - self.alpha_drop
+            dm = jax.random.bernoulli(self.make_rng("dropout"), keep, attn.shape)
+            attn = attn * dm.astype(attn.dtype) / keep
 
         # value path: gate-style activation then second SO(2) conv
         gate = jax.nn.silu(nn.Dense((self.lmax + 1) * self.attn_hidden, name="gate_dense")(inv))
@@ -242,6 +257,30 @@ class EquiformerV2(nn.Module):
     subtract_atomic_radii: bool = True  # denoising variant edge-distance offset
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
     avg_degree: float = 20.0
+    alpha_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    training: bool = False
+
+    def _branch_drop(self, y: jnp.ndarray) -> jnp.ndarray:
+        """Residual-branch regularization: per-graph stochastic depth then the
+        equivariant per-node channel dropout, in the reference's order
+        (ref: transformer_block.py:686-706)."""
+        if not self.training:
+            return y
+        if self.drop_path_rate > 0.0:
+            keep = 1.0 - self.drop_path_rate
+            m = jax.random.bernoulli(self.make_rng("dropout"), keep, (y.shape[0], 1, 1, 1))
+            y = y * m.astype(y.dtype) / keep
+        if self.proj_drop > 0.0:
+            # one mask per (node, channel), broadcast over the coefficient
+            # axis — dropping whole channels keeps the output equivariant
+            # (ref: drop.py EquivariantDropoutArraySphericalHarmonics :118-151)
+            keep = 1.0 - self.proj_drop
+            shape = (y.shape[0], y.shape[1], 1, y.shape[-1])
+            m = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+            y = y * m.astype(y.dtype) / keep
+        return y
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
@@ -299,13 +338,14 @@ class EquiformerV2(nn.Module):
             y = SO2Attention(
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
-                self.sphere_channels, name=f"attn_{i}",
+                self.sphere_channels, alpha_drop=self.alpha_drop,
+                training=self.training, name=f"attn_{i}",
             )(y, nl, d_mats, d_inv, rad, edge_inv)
-            x = x + y
+            x = x + self._branch_drop(y)
             y = EquivariantLayerNorm(self.lmax, name=f"norm_ffn_{i}")(x)
             y = GridFFN(self.lmax, self.ffn_hidden_channels, self.sphere_channels,
                         self.grid_resolution, name=f"ffn_{i}")(y)
-            x = x + y
+            x = x + self._branch_drop(y)
             x = jnp.where(batch.atom_mask[..., None, None], x, 0.0)
 
         x = EquivariantLayerNorm(self.lmax, name="norm_final")(x)

@@ -53,7 +53,10 @@ class TrainState:
     ema_params: Any
 
 
-def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None, amp: bool = False):
+def _model_from_config(
+    model_cfg: dict, *, sampling: bool = False, mode: Optional[str] = None, amp: bool = False,
+    training: bool = False,
+):
     from adsorbdiff_tpu.common.imports import setup_imports
 
     setup_imports()
@@ -74,6 +77,16 @@ def _model_from_config(model_cfg: dict, *, sampling: bool = False, mode: Optiona
         cfg["sampling"] = True
     if "cell_reps" in cfg:
         cfg["cell_reps"] = tuple(cfg["cell_reps"])
+    fields = getattr(cls, "__dataclass_fields__", {})
+    if "training" in fields:
+        # train-mode instance enables dropout/drop-path (EqV2); dropout holds
+        # no params so train/eval instances share the same param pytree
+        cfg["training"] = bool(training)
+    elif "training" in cfg:
+        cfg.pop("training")
+    for k in ("alpha_drop", "drop_path_rate", "proj_drop"):
+        if k in cfg and k not in fields:
+            cfg.pop(k)  # models without the regularizer accept-and-drop the key
     return cls(**cfg)
 
 
@@ -106,9 +119,13 @@ class BaseTrainer:
         amp = bool(config.get("amp"))
         try:
             self.model = _model_from_config(self.model_cfg, mode=self._model_mode(), amp=amp)
+            self.train_model = _model_from_config(
+                self.model_cfg, mode=self._model_mode(), amp=amp, training=True
+            )
         except TypeError:
             # model class without a compute_dtype field
             self.model = _model_from_config(self.model_cfg, mode=self._model_mode())
+            self.train_model = _model_from_config(self.model_cfg, mode=self._model_mode(), training=True)
         self._datasets(config)
         self._normalizers(config)
         self._optimizer()
@@ -468,16 +485,21 @@ class DenoisingTrainer(BaseTrainer):
         self._predict_fns: Dict[Tuple[int, int], Any] = {}
 
     def _make_train_step(self):
-        model, so3 = self.model, self.so3
+        model, so3 = self.train_model, self.so3
         schedule_fn, params_cfg = self.schedule_fn, self.denoising_pos_params
 
         def train_step(state: TrainState, batch: AtomsBatch, key: jax.Array):
             # pos <- pos_relaxed before noising (ref: :413-414)
             batch = batch.replace(pos=batch.pos_relaxed)
             noised, targets = schedule_fn(key, batch, params_cfg)
+            # fold_in keeps the noise stream identical to the no-dropout build
+            drop_key = jax.random.fold_in(key, 1)
 
             def loss_fn(params):
-                out = model.apply({"params": params, "scale_factors": state.scale_factors}, noised)
+                out = model.apply(
+                    {"params": params, "scale_factors": state.scale_factors}, noised,
+                    rngs={"dropout": drop_key},
+                )
                 out1, out2 = (out if so3 else (out, None))
                 return denoising_loss(out1, out2, noised, targets)
 
@@ -511,10 +533,14 @@ class DenoisingTrainer(BaseTrainer):
         eval_step = self._eval_step_fn()
         metrics: Dict[str, Any] = {}
         key = jax.random.PRNGKey(self.seed + 1)
+        losses = []  # device scalars; ONE readback at the end (tunnel RTT)
         for i, batch in enumerate(batcher):
             batch = meshlib.shard_batch(batch, self.mesh)
             loss, aux = eval_step(self.state, batch, jax.random.fold_in(key, i))
-            metrics = self.evaluator.update("loss", float(loss), metrics)
+            losses.append(loss)
+        if losses:
+            for v in np.asarray(jax.device_get(jnp.stack(losses))):
+                metrics = self.evaluator.update("loss", float(v), metrics)
         log = {k: metrics[k]["metric"] for k in metrics}
         logging.info(f"[{split}] " + ", ".join(f"{k}: {v:.4f}" for k, v in log.items()))
         if self.logger:
@@ -613,7 +639,7 @@ class S2EFTrainer(BaseTrainer):
         return "s2ef"
 
     def _make_train_step(self):
-        model = self.model
+        model = self.train_model
         e_coef = float(self.optim_cfg.get("energy_coefficient", 1.0))
         f_coef = float(self.optim_cfg.get("force_coefficient", 30.0))
         loss_force = str(self.optim_cfg.get("loss_force", "l2mae"))
@@ -621,8 +647,11 @@ class S2EFTrainer(BaseTrainer):
         train_free = bool(self.task_cfg.get("train_on_free_atoms", True))
         e_norm = self.normalizers.get("energy")
 
-        def loss_fn(params, scale_factors, batch):
-            out = model.apply({"params": params, "scale_factors": scale_factors}, batch)
+        def loss_fn(params, scale_factors, batch, drop_key):
+            out = model.apply(
+                {"params": params, "scale_factors": scale_factors}, batch,
+                rngs={"dropout": drop_key},
+            )
             e_target = batch.energy
             if e_norm is not None:
                 e_target = e_norm.norm(e_target)
@@ -641,7 +670,7 @@ class S2EFTrainer(BaseTrainer):
 
         def train_step(state: TrainState, batch: AtomsBatch, key: jax.Array):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.scale_factors, batch
+                state.params, state.scale_factors, batch, key
             )
             return self._finalize_train_step(loss, aux, grads, state)
 

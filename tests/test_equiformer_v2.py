@@ -110,6 +110,43 @@ def test_energy_conditioning(rng):
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=0)
 
 
+def test_dropout_train_eval(model_and_params, rng):
+    """alpha_drop / drop_path / proj_drop: stochastic in train mode (keyed off
+    the flax 'dropout' RNG), exactly off at eval, params shared between the
+    train and eval instances (ref: equiformer_v2/drop.py:13-151)."""
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    drop = dict(alpha_drop=0.3, drop_path_rate=0.3, proj_drop=0.3)
+    train_model = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True,
+                               training=True, **drop)
+    eval_model = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True,
+                              training=False, **drop)
+
+    # same param pytree — the regularizers hold no params
+    tv = train_model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, batch)
+    assert jax.tree.structure(tv["params"]) == jax.tree.structure(variables["params"])
+
+    a1, _ = train_model.apply(variables, batch, rngs={"dropout": jax.random.PRNGKey(10)})
+    a2, _ = train_model.apply(variables, batch, rngs={"dropout": jax.random.PRNGKey(11)})
+    assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 1e-6  # stochastic
+    # same key → deterministic
+    a1b, _ = train_model.apply(variables, batch, rngs={"dropout": jax.random.PRNGKey(10)})
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a1b), atol=0)
+
+    # eval: bit-identical to the rate-0 baseline, no RNG needed
+    e1, _ = eval_model.apply(variables, batch)
+    f1, _ = model.apply(variables, batch)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(f1), atol=0)
+
+    # grads flow through the stochastic forward
+    def loss(params):
+        f1, f2 = train_model.apply({"params": params}, batch, rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(f1**2) + jnp.sum(f2**2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
 def test_gradients_finite(model_and_params, rng):
     model, variables = model_and_params
     batch = make_batch(rng)
