@@ -11,8 +11,9 @@ adsorbate_slab_config.py:22-575):
   adsorbate-surface covalent-radius pair clears ``interstitial_gap``
   (ref: :196-351).  The reference root-finds the lift with scipy.fsolve; the
   intersection equation is an exact quadratic, solved here in closed form.
-- the pymatgen ``AdsorbateSiteFinder`` "heuristic" site mode is gated on a
-  pymatgen import (ref: :168-194).
+- "heuristic" site mode: ontop / bridge / hollow sites from the same Delaunay
+  mesh (pymatgen-free equivalent of ``AdsorbateSiteFinder``, ref: :168-194),
+  with the binding atom (not the COM) translated to the site.
 """
 from __future__ import annotations
 
@@ -90,14 +91,22 @@ class AdsorbateSlabConfig:
             self.rng.shuffle(sites)
             return sites[:num_sites]
 
-        # "heuristic" — pymatgen AdsorbateSiteFinder (gated, ref: :168-194)
-        try:
-            from pymatgen.analysis.adsorption import AdsorbateSiteFinder  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "mode='heuristic' requires pymatgen (not installed); use mode='random'"
-            ) from e
-        raise NotImplementedError("pymatgen heuristic sites: enable when pymatgen is present")
+        # "heuristic": ontop / bridge / hollow sites from the Delaunay mesh of
+        # the surface atoms — pymatgen-free equivalent of
+        # AdsorbateSiteFinder.find_adsorption_sites(distance=0)["all"]
+        # (ref: :168-194).  Ontop = surface atoms, bridge = Delaunay edge
+        # midpoints, hollow = triangle centroids; like the reference, ALL
+        # found sites are returned (with a warning if more than num_sites).
+        sites = heuristic_adsorption_sites(atoms)
+        if len(sites) > num_sites:
+            import logging
+
+            logging.warning(
+                f"Found {len(sites)} sites with mode='heuristic' and "
+                f"num_sites={num_sites}. Heuristic mode returns all found sites."
+            )
+        self.rng.shuffle(sites)
+        return sites
 
     # -------------------------------------------------------------- placement
     def place_adsorbate_on_site(self, site: np.ndarray, interstitial_gap: float = 0.1):
@@ -203,6 +212,46 @@ class AdsorbateSlabConfig:
                 "xyz_angles": self.metadata_list[ind]["xyz_angles"],
             },
         }
+
+
+def heuristic_adsorption_sites(atoms: Atoms, dedup_tol: float = 0.1) -> np.ndarray:
+    """Ontop / bridge / hollow adsorption sites from a Delaunay triangulation
+    of the (3x3-tiled) surface atoms' xy positions — a pymatgen-free
+    ``AdsorbateSiteFinder.find_adsorption_sites(distance=0)`` (ref:
+    adsorbate_slab_config.py:168-189; pymatgen builds the same Delaunay mesh
+    internally).  Sites sit at the mean position of their defining atoms
+    (distance=0: the caller lifts along the normal afterwards); duplicates
+    within ``dedup_tol`` Å after wrapping to the central cell are merged."""
+    cell = np.asarray(atoms.cell, np.float64)
+    surf_mask = np.asarray(atoms.tags) == 1
+    assert surf_mask.any(), "heuristic sites need tagged surface atoms"
+    reps = [(0, 0)] + [r for r in product([-1, 0, 1], repeat=2) if r != (0, 0)]
+    tiled_pos = np.concatenate([atoms.positions + i * cell[0] + j * cell[1] for i, j in reps])
+    tiled_surf = tiled_pos[np.tile(surf_mask, len(reps))]
+    n_central = int(surf_mask.sum())
+
+    sites = [tiled_surf[:n_central]]  # ontop, central cell only
+    if len(tiled_surf) >= 3:
+        simplices = Delaunay(tiled_surf[:, :2]).simplices
+        simplices = simplices[(simplices < n_central).any(axis=1)]
+        for tri in simplices:
+            v = tiled_surf[tri]
+            sites.append((v[[0, 1, 2]] + v[[1, 2, 0]]) / 2.0)  # bridge
+            sites.append(v.mean(axis=0, keepdims=True))  # hollow
+    uw = np.concatenate(sites)
+
+    # wrap-filter to the central cell (xy), then dedupe on a tol grid
+    frac = uw @ np.linalg.inv(cell)
+    keep = np.all((frac[:, :2] >= -1e-8) & (frac[:, :2] < 1 - 1e-8), axis=1)
+    uw = uw[keep]
+    out: List[np.ndarray] = []
+    seen = set()
+    for s in uw:
+        key = tuple(np.round(s / dedup_tol).astype(np.int64).tolist())
+        if key not in seen:
+            seen.add(key)
+            out.append(s)
+    return np.asarray(out)
 
 
 def get_random_sites_on_triangle(vertices: np.ndarray, num_sites: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:

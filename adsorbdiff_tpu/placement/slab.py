@@ -1,14 +1,22 @@
-"""Slab construction: tiling, surface tagging, constraints, basic slab cutting.
+"""Slab construction: tiling, surface tagging, constraints, slab cutting with
+termination/shift enumeration.
 
 Rebuild of the reference slab toolkit (ref: adsorbdiff/placement/slab.py).
 The reference enumerates terminations with pymatgen's SlabGenerator
 (slab.py:485-554); pymatgen is not installed here, so:
 
-- :func:`compute_slabs` implements a basic integer-lattice Miller-plane cutter
-  (in-plane basis from the nullspace of (h,k,l) over Z, stacking vector from a
-  Bezout solution, rotate plane->xy, add vacuum).  It produces one termination
-  per Miller index — no symmetry dedup / shift enumeration (those remain
-  pymatgen-gated via :func:`_compute_slabs_pymatgen`).
+- :func:`compute_slabs` implements a from-scratch integer-lattice Miller-plane
+  cutter (in-plane basis from the nullspace of (h,k,l) over Z, stacking vector
+  from a Bezout solution, rotate plane->xy, add vacuum) with pymatgen-free
+  **termination enumeration**: candidate cut shifts are the midpoints between
+  clustered atomic c-planes of the oriented unit cell (the same rule as
+  SlabGenerator._calculate_possible_shifts with tol=0.3 Å), duplicate
+  terminations are collapsed by a (Z, depth-from-top) fingerprint, and — as in
+  the reference (slab.py:540-551) — slabs whose bottom termination differs
+  from the top are additionally emitted flipped with ``top=False``.  The
+  fingerprint ignores in-plane arrangement; two terminations with identical
+  composition-vs-depth profiles but different lateral patterns would merge
+  (not observed for the simple lattices tested).
 - tiling (tile_atoms min_ab=8, ref: :324-348), height-based surface tagging
   (within 2 Å of the top, ref: :350-383), and tag-0 FixAtoms constraints
   (ref: :253-281) are ported exactly; the Voronoi-refined tagging path
@@ -133,15 +141,9 @@ def _plane_basis(millers: Tuple[int, int, int]) -> np.ndarray:
     return np.stack([v1, v2, v3])
 
 
-def compute_slabs(
-    bulk_atoms: Atoms,
-    millers: Tuple[int, int, int] = (1, 1, 1),
-    layers: int = 3,
-    vacuum: float = 15.0,
-) -> List[Tuple[Atoms, float, bool]]:
-    """Cut a slab from a bulk along a Miller plane (ref: slab.py:485-554 uses
-    pymatgen SlabGenerator; this is a from-scratch integer-lattice cutter
-    returning [(atoms, shift, top)])."""
+def _oriented_cell_atoms(bulk_atoms: Atoms, millers: Tuple[int, int, int]):
+    """Oriented unit cell for a Miller plane + the bulk atoms inside it
+    (fractional coords in that cell)."""
     basis = _plane_basis(millers)
     cell = np.asarray(bulk_atoms.cell, np.float64)
     new_cell = basis.astype(np.float64) @ cell  # rows
@@ -157,10 +159,39 @@ def compute_slabs(
     cart = all_frac @ cell
     new_frac = cart @ np.linalg.inv(new_cell)
     inside = np.all((new_frac > -1e-9) & (new_frac < 1 - 1e-9), axis=1)
-    new_frac, numbers = new_frac[inside], all_numbers[inside]
+    return new_cell, new_frac[inside], all_numbers[inside]
 
-    # replicate along stacking axis, rotate plane -> xy, add vacuum
-    stacked_frac = np.concatenate([new_frac + [0, 0, i] for i in range(layers)])
+
+def _possible_shifts(c_frac: np.ndarray, height: float, tol: float = 0.3) -> List[float]:
+    """Candidate cut positions: fractional-c midpoints of the gaps between
+    clustered atomic c-planes of the oriented cell — the SlabGenerator shift
+    rule, pymatgen-free (ref: slab.py:527-537 get_slabs(tol=0.3))."""
+    frac_tol = tol / max(height, 1e-9)
+    cs = np.sort(np.asarray(c_frac, np.float64) % 1.0)
+    clusters: List[List[float]] = [[cs[0]]]
+    for c in cs[1:]:
+        if c - clusters[-1][-1] < frac_tol:
+            clusters[-1].append(c)
+        else:
+            clusters.append([c])
+    # periodic wraparound: merge last into first
+    if len(clusters) > 1 and (cs[0] + 1.0 - clusters[-1][-1]) < frac_tol:
+        clusters[0] = [c - 1.0 for c in clusters.pop()] + clusters[0]
+    means = sorted(float(np.mean(cl)) % 1.0 for cl in clusters)
+    if len(means) == 1:
+        return [(means[0] + 0.5) % 1.0]
+    mids = [(means[i] + means[i + 1]) / 2.0 for i in range(len(means) - 1)]
+    mids.append(((means[-1] + means[0] + 1.0) / 2.0) % 1.0)
+    return mids
+
+
+def _build_slab(new_cell: np.ndarray, new_frac: np.ndarray, numbers: np.ndarray,
+                shift: float, layers: int, vacuum: float) -> Atoms:
+    """Stack ``layers`` periods of the oriented cell cut at fractional-c
+    ``shift``, rotate plane->xy, add vacuum."""
+    frac = new_frac.copy()
+    frac[:, 2] = (frac[:, 2] - shift) % 1.0
+    stacked_frac = np.concatenate([frac + [0, 0, i] for i in range(layers)])
     stacked_numbers = np.tile(numbers, layers)
     slab_cell = new_cell.copy()
     slab_cell[2] *= layers
@@ -181,9 +212,68 @@ def compute_slabs(
         pos += slab_cell[2]
     pos[:, 2] -= pos[:, 2].min()
     slab_cell[2] = [0, 0, pos[:, 2].max() + vacuum]
+    return Atoms(positions=pos, numbers=stacked_numbers, cell=slab_cell, pbc=(True, True, False))
 
-    atoms = Atoms(positions=pos, numbers=stacked_numbers, cell=slab_cell, pbc=(True, True, False))
-    return [(atoms, 0.0, True)]
+
+def termination_fingerprint(atoms: Atoms, decimals: int = 1) -> tuple:
+    """(species, depth-from-top) multiset — invariant under in-plane
+    translation/rotation; used to collapse duplicate terminations."""
+    z = np.asarray(atoms.positions)[:, 2]
+    rel = np.round(z.max() - z, decimals)
+    return tuple(sorted(zip(rel.tolist(), np.asarray(atoms.numbers).tolist())))
+
+
+def flip_slab(atoms: Atoms) -> Atoms:
+    """Proper 180° rotation about the a-axis so the bottom faces up
+    (ref: slab.py flip_struct :556-581 — rotation, not a mirror, so chirality
+    is preserved)."""
+    rot180x = np.diag([1.0, -1.0, -1.0])
+    pos = np.asarray(atoms.positions, np.float64) @ rot180x
+    cell = np.asarray(atoms.cell, np.float64) @ rot180x
+    if cell[2, 2] < 0:
+        cell[2] = -cell[2]
+    if np.cross(cell[0], cell[1])[2] < 0:
+        cell[1] = -cell[1]
+    # wrap in-plane into the fixed cell, zero the base height
+    frac = pos @ np.linalg.inv(cell)
+    frac[:, :2] %= 1.0
+    pos = frac @ cell
+    pos[:, 2] -= pos[:, 2].min()
+    return Atoms(positions=pos, numbers=np.asarray(atoms.numbers).copy(), cell=cell,
+                 tags=np.asarray(atoms.tags).copy(), pbc=atoms.pbc)
+
+
+def compute_slabs(
+    bulk_atoms: Atoms,
+    millers: Tuple[int, int, int] = (1, 1, 1),
+    layers: int = 3,
+    vacuum: float = 15.0,
+    tol: float = 0.3,
+) -> List[Tuple[Atoms, float, bool]]:
+    """Enumerate the distinct terminations of a Miller plane
+    (ref: slab.py:485-554, pymatgen SlabGenerator.get_slabs(tol=0.3) +
+    flipped bottoms when not invertible).  Returns [(atoms, shift, top)]."""
+    new_cell, new_frac, numbers = _oriented_cell_atoms(bulk_atoms, millers)
+    n_hat = np.cross(new_cell[0], new_cell[1])
+    n_hat /= np.linalg.norm(n_hat)
+    height = abs(float(new_cell[2] @ n_hat))
+
+    out: List[Tuple[Atoms, float, bool]] = []
+    seen = set()
+    for shift in _possible_shifts(new_frac[:, 2], height, tol):
+        atoms = _build_slab(new_cell, new_frac, numbers, shift, layers, vacuum)
+        fp_top = termination_fingerprint(atoms)
+        if fp_top in seen:
+            continue
+        seen.add(fp_top)
+        out.append((atoms, float(shift), True))
+        # bottom differs from top -> emit it flipped (ref: slab.py:540-551)
+        flipped = flip_slab(atoms)
+        fp_bot = termination_fingerprint(flipped)
+        if fp_bot != fp_top and fp_bot not in seen:
+            seen.add(fp_bot)
+            out.append((flipped, float(shift), False))
+    return out
 
 
 def tile_and_tag_atoms(slab_atoms: Atoms, min_ab: float = 8.0) -> Atoms:

@@ -40,18 +40,20 @@ def test_enumerate_millers():
 @pytest.mark.parametrize("millers", [(1, 0, 0), (1, 1, 1), (2, 1, 0)])
 def test_compute_slabs_geometry(millers):
     bulk = fcc_cu_bulk()
-    (atoms, shift, top), = compute_slabs(bulk.atoms, millers=millers, layers=3, vacuum=12.0)
-    assert len(atoms) > 0
-    cell = atoms.cell
-    # c axis orthogonal to the surface plane and along +z
-    assert abs(cell[2, 0]) < 1e-8 and abs(cell[2, 1]) < 1e-8 and cell[2, 2] > 0
-    # all atoms inside the cell along z with vacuum above
-    assert atoms.positions[:, 2].min() >= -1e-6
-    assert atoms.positions[:, 2].max() <= cell[2, 2] - 11.0
-    # atom density sanity: same as bulk (atoms/volume of the occupied region)
-    slab_vol = np.abs(np.linalg.det(np.stack([cell[0], cell[1], [0, 0, np.ptp(atoms.positions[:, 2]) + 2.0]])))
-    bulk_density = 4 / np.abs(np.linalg.det(bulk.atoms.cell))
-    assert len(atoms) / slab_vol == pytest.approx(bulk_density, rel=0.35)
+    slabs = compute_slabs(bulk.atoms, millers=millers, layers=3, vacuum=12.0)
+    assert len(slabs) >= 1
+    for atoms, shift, top in slabs:
+        assert len(atoms) > 0
+        cell = atoms.cell
+        # c axis orthogonal to the surface plane and along +z
+        assert abs(cell[2, 0]) < 1e-8 and abs(cell[2, 1]) < 1e-8 and cell[2, 2] > 0
+        # all atoms inside the cell along z with vacuum above
+        assert atoms.positions[:, 2].min() >= -1e-6
+        assert atoms.positions[:, 2].max() <= cell[2, 2] - 11.0
+        # atom density sanity: same as bulk (atoms/volume of the occupied region)
+        slab_vol = np.abs(np.linalg.det(np.stack([cell[0], cell[1], [0, 0, np.ptp(atoms.positions[:, 2]) + 2.0]])))
+        bulk_density = 4 / np.abs(np.linalg.det(bulk.atoms.cell))
+        assert len(atoms) / slab_vol == pytest.approx(bulk_density, rel=0.35)
 
 
 def test_slab_from_bulk_tagged_and_fixed():
@@ -118,6 +120,100 @@ def test_adsorbate_slab_config_end_to_end():
     # metadata dict round trip
     md = config.get_metadata_dict(0)
     assert md["adsorbed_slab_metadata"]["bulk_id"] == "mp-30"
+
+
+def cscl_bulk():
+    """B2 CsCl: alternating Cs/Cl (001) planes — two distinct terminations."""
+    a = 4.12
+    cell = np.eye(3) * a
+    atoms = Atoms(positions=[[0, 0, 0], [a / 2, a / 2, a / 2]], numbers=[55, 17], cell=cell)
+    return Bulk(bulk_atoms=atoms, src_id="mp-22865")
+
+
+def test_termination_enumeration_elemental():
+    """Monoatomic fcc: every cut is the same termination -> exactly one slab,
+    and it is z-invertible (no flipped bottom emitted)."""
+    bulk = fcc_cu_bulk()
+    for millers in [(1, 0, 0), (1, 1, 1)]:
+        slabs = compute_slabs(bulk.atoms, millers=millers, layers=3)
+        assert len(slabs) == 1, millers
+        assert slabs[0][2] is True
+
+
+def test_termination_enumeration_binary():
+    """CsCl(001): Cs- and Cl-terminated cuts are distinct (ref: slab.py
+    get_slabs enumerates both; :540-551 also flips non-invertible bottoms —
+    here each flip duplicates the other cut's top, so dedup keeps 2)."""
+    from adsorbdiff_tpu.placement.slab import termination_fingerprint
+
+    bulk = cscl_bulk()
+    slabs = compute_slabs(bulk.atoms, millers=(0, 0, 1), layers=3)
+    assert len(slabs) == 2
+    fps = {termination_fingerprint(a) for a, _, _ in slabs}
+    assert len(fps) == 2
+    # one termination has Cs (55) on top, the other Cl (17)
+    tops = set()
+    for atoms, shift, top in slabs:
+        z = atoms.positions[:, 2]
+        tops.add(int(np.asarray(atoms.numbers)[np.argmax(z)]))
+    assert tops == {55, 17}
+
+
+def test_flip_slab_preserves_structure():
+    """flip_slab is a proper rotation: chirality (cell handedness), atom count
+    and interatomic distances are preserved; the z-profile is mirrored."""
+    from adsorbdiff_tpu.placement.slab import flip_slab
+
+    bulk = cscl_bulk()
+    (atoms, _, _), *_ = compute_slabs(bulk.atoms, millers=(0, 0, 1), layers=3)
+    flipped = flip_slab(atoms)
+    assert len(flipped) == len(atoms)
+    assert np.linalg.det(np.asarray(flipped.cell)) > 0
+    z = np.sort(atoms.positions[:, 2])
+    zf = np.sort(flipped.positions[:, 2])
+    np.testing.assert_allclose(zf, z.max() - z[::-1], atol=1e-8)
+    # the species that was on the bottom is now on top
+    bottom_z = int(np.asarray(atoms.numbers)[np.argmin(atoms.positions[:, 2])])
+    top_zf = int(np.asarray(flipped.numbers)[np.argmax(flipped.positions[:, 2])])
+    assert bottom_z == top_zf
+
+
+def test_heuristic_sites_square_lattice():
+    """One atom per square cell: heuristic sites must include the ontop site
+    and bridge/hollow sites, all inside the central cell, deduped."""
+    from adsorbdiff_tpu.placement.adsorbate_slab_config import heuristic_adsorption_sites
+
+    a = 2.5
+    atoms = Atoms(
+        positions=[[0.0, 0.0, 10.0], [0.0, 0.0, 8.0]], numbers=[29, 29],
+        cell=np.diag([a, a, 20.0]), tags=[1, 0], pbc=(True, True, False),
+    )
+    sites = heuristic_adsorption_sites(atoms)
+    assert len(sites) >= 3  # ontop + bridges + hollows
+    frac = sites @ np.linalg.inv(np.asarray(atoms.cell))
+    assert np.all(frac[:, :2] >= -1e-6) and np.all(frac[:, :2] < 1 + 1e-6)
+    # ontop present
+    assert np.any(np.linalg.norm(sites - np.array([0, 0, 10.0]), axis=1) < 1e-6)
+    # no duplicates
+    keys = {tuple(np.round(s, 3)) for s in sites}
+    assert len(keys) == len(sites)
+
+
+def test_adsorbate_slab_config_heuristic_mode():
+    """End-to-end heuristic placement: binding atom over the site, no overlap
+    (ref: adsorbate_slab_config.py:168-194 + :196-254)."""
+    bulk = fcc_cu_bulk()
+    slab = Slab.from_bulk_get_specific_millers((1, 0, 0), bulk)[0]
+    ads = co_adsorbate()
+    config = AdsorbateSlabConfig(slab, ads, num_sites=100, mode="heuristic", rng=np.random.default_rng(1))
+    assert len(config.sites) >= 3
+    assert len(config.atoms_list) == len(config.sites)
+    for atoms, meta in zip(config.atoms_list[:8], config.metadata_list[:8]):
+        tags = np.asarray(atoms.tags)
+        assert not there_is_overlap(atoms), get_interstitial_distances(atoms).min()
+        # binding atom (C) sits over the site in xy
+        c_pos = atoms.positions[tags == 2][0]
+        np.testing.assert_allclose(c_pos[:2], meta["site"][:2], atol=1e-6)
 
 
 def test_bulk_get_slabs_smoke():
