@@ -1,34 +1,73 @@
-"""OC20 LMDB interop (gated).
+"""OC20 LMDB interop.
 
 Reads the reference's pickled-PyG LMDB datasets (ref: adsorbdiff/datasets/
 lmdb_dataset.py:30-223) and converts them to :class:`System`s / our shard
-formats.  Requires the ``lmdb`` package and ``torch`` (+ ``torch_geometric``
-for unpickling real OC20 files) — none of which are guaranteed in this image,
-hence the hard gate.  Use ``convert_lmdb_to_shards`` offline where the deps
-exist; the TPU pipeline then consumes the converted shards.
+formats.  Two backends:
+
+- the ``lmdb`` package when importable (feature-complete liblmdb);
+- otherwise the dependency-free reader in :mod:`adsorbdiff_tpu.data.lmdbio`,
+  which parses the LMDB file format directly — so real OC20 ``.lmdb`` files
+  convert in this image without installing anything.
+
+Unpickling does not need torch_geometric: :class:`_PyGShim` absorbs any
+``torch_geometric.*`` class in the stream (old-style ``Data.__dict__``
+pickles and PyG>=2 ``_store``-based ones), and torch tensors unpickle with
+the baked-in torch.
 """
 from __future__ import annotations
 
+import io
 import os
 import pickle
-from typing import Iterator, Optional
+from typing import Iterator, List, Tuple
 
 import numpy as np
 
 from adsorbdiff_tpu.data.schema import System
 
 
-def _require_lmdb():
-    try:
-        import lmdb  # noqa: F401
+class _PyGShim:
+    """Stand-in for torch_geometric classes inside OC20 pickles: keeps the
+    pickled attributes, resolves PyG>=2 ``_store._mapping`` indirection."""
 
-        return lmdb
-    except ImportError as e:  # pragma: no cover - gated dependency
-        raise ImportError(
-            "LMDB interop requires the 'lmdb' package (and torch/torch_geometric "
-            "for unpickling OC20 data). Convert datasets offline with "
-            "convert_lmdb_to_shards where those are installed."
-        ) from e
+    def __init__(self, *args, **kwargs) -> None:
+        self.__dict__.update(kwargs)
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple) and len(state) == 2 and isinstance(state[1], dict):
+            state = {**(state[0] or {}), **state[1]}
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:  # pragma: no cover - exotic reduce protocols
+            self.__dict__["_state"] = state
+
+    def __getattr__(self, name):
+        # PyG>=2 Data: attributes live in _store (itself a shim) -> _mapping
+        d = self.__dict__
+        for holder_name in ("_store",):
+            holder = d.get(holder_name)
+            if holder is not None:
+                mapping = getattr(holder, "_mapping", None) or holder.__dict__.get("_mapping")
+                if isinstance(mapping, dict) and name in mapping:
+                    return mapping[name]
+                if name in getattr(holder, "__dict__", {}):
+                    return holder.__dict__[name]
+        mapping = d.get("_mapping")
+        if isinstance(mapping, dict) and name in mapping:
+            return mapping[name]
+        raise AttributeError(name)
+
+
+class _ShimUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.split(".")[0] in ("torch_geometric", "torch_sparse", "torch_scatter"):
+            return _PyGShim
+        return super().find_class(module, name)
+
+
+def loads_pyg(raw: bytes):
+    """Unpickle an OC20 record without torch_geometric installed."""
+    return _ShimUnpickler(io.BytesIO(raw)).load()
 
 
 def _data_to_system(data) -> System:
@@ -40,6 +79,12 @@ def _data_to_system(data) -> System:
             return None
         return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
 
+    def scalar(name, default=0.0):
+        v = getattr(data, name, None)
+        if v is None:
+            return float(default)
+        return float(np.asarray(v).reshape(-1)[0])
+
     pos = get("pos")
     return System(
         pos=pos,
@@ -49,40 +94,55 @@ def _data_to_system(data) -> System:
         cell=get("cell").reshape(3, 3),
         sid=int(np.asarray(getattr(data, "sid", 0)).reshape(-1)[0]),
         fid=int(np.asarray(getattr(data, "fid", 0)).reshape(-1)[0]),
-        energy=float(np.asarray(getattr(data, "y", 0.0) or 0.0)),
-        y_relaxed=float(np.asarray(getattr(data, "y_relaxed", 0.0) or 0.0)),
+        energy=scalar("y"),
+        y_relaxed=scalar("y_relaxed"),
         pos_relaxed=get("pos_relaxed"),
         forces=get("force"),
     )
 
 
+def _iter_lmdb_raw(path: str) -> Iterator[Tuple[bytes, bytes]]:
+    """(key, value) pairs of one .lmdb file, preferring the lmdb package."""
+    try:
+        import lmdb
+    except ImportError:
+        from adsorbdiff_tpu.data.lmdbio import LmdbReader
+
+        with LmdbReader(path) as reader:
+            yield from reader.items()
+        return
+    env = lmdb.open(path, subdir=False, readonly=True, lock=False, readahead=False, meminit=False)
+    try:
+        with env.begin() as txn:
+            for key, value in txn.cursor():
+                yield bytes(key), bytes(value)
+    finally:
+        env.close()
+
+
 def iter_lmdb_systems(src: str) -> Iterator[System]:
-    """Iterate systems from a single .lmdb file or a directory of them."""
-    lmdb = _require_lmdb()
+    """Iterate systems from a single .lmdb file or a directory of them
+    (key schema per ref lmdb_dataset.py:96-116: b"0".."<n-1>" records plus an
+    optional pickled b"length")."""
     paths = (
-        sorted(
-            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".lmdb")
-        )
+        sorted(os.path.join(src, f) for f in os.listdir(src) if f.endswith(".lmdb"))
         if os.path.isdir(src)
         else [src]
     )
     for path in paths:
-        env = lmdb.open(
-            path, subdir=False, readonly=True, lock=False, readahead=False, meminit=False
-        )
-        with env.begin() as txn:
-            length = txn.get("length".encode("ascii"))
-            n = pickle.loads(length) if length is not None else env.stat()["entries"]
-            for i in range(n):
-                raw = txn.get(f"{i}".encode("ascii"))
-                if raw is None:
-                    continue
-                yield _data_to_system(pickle.loads(raw))
-        env.close()
+        records: List[Tuple[int, bytes]] = []
+        for key, value in _iter_lmdb_raw(path):
+            try:
+                idx = int(key.decode("ascii"))
+            except (UnicodeDecodeError, ValueError):
+                continue  # metadata keys: length, metadata, ...
+            records.append((idx, value))
+        for _, raw in sorted(records):
+            yield _data_to_system(loads_pyg(raw))
 
 
 def convert_lmdb_to_shards(src: str, out_path: str, shard_size: int = 5000) -> int:
-    """Offline LMDB -> .adshard.npz conversion (run where lmdb/torch exist)."""
+    """LMDB -> .adshard.npz conversion (works in-image via lmdbio)."""
     from adsorbdiff_tpu.data.store import write_shard
 
     buf, shard_i, total = [], 0, 0

@@ -1,0 +1,150 @@
+"""LMDB interop: dependency-free format IO + OC20-schema conversion + training
+from a converted dataset (ref: adsorbdiff/datasets/lmdb_dataset.py:30-223)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.data.lmdb_compat import convert_lmdb_to_shards, iter_lmdb_systems, loads_pyg
+from adsorbdiff_tpu.data.lmdbio import LmdbReader, LmdbWriter, write_lmdb
+from adsorbdiff_tpu.data.store import ShardDataset
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "oc20_2sys.lmdb")
+
+
+def test_lmdbio_roundtrip_many(tmp_path):
+    """Hundreds of entries across several leaves (branch page), values from
+    empty to multi-page BIGDATA overflow chains."""
+    rng = np.random.default_rng(0)
+    items = {}
+    for i in range(300):
+        size = int(rng.choice([0, 5, 100, 1500]))
+        items[f"{i:04d}".encode()] = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+    items[b"big-single"] = bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+    items[b"big-multi"] = bytes(rng.integers(0, 256, 40000, dtype=np.uint8))
+    path = str(tmp_path / "round.lmdb")
+    write_lmdb(path, sorted(items.items()))
+
+    with LmdbReader(path) as r:
+        assert r.entries == len(items)
+        got = dict(r.items())
+        assert got == items
+        assert list(got.keys()) == sorted(items.keys())  # key order preserved
+        for k, v in items.items():
+            assert r.get(k) == v
+        assert r.get(b"missing") is None
+
+
+def test_lmdbio_empty_and_single(tmp_path):
+    path = str(tmp_path / "empty.lmdb")
+    write_lmdb(path, [])
+    with LmdbReader(path) as r:
+        assert r.entries == 0 and list(r.items()) == []
+    path2 = str(tmp_path / "one.lmdb")
+    write_lmdb(path2, [(b"k", b"v")])
+    with LmdbReader(path2) as r:
+        assert r.get(b"k") == b"v" and r.entries == 1
+
+
+def test_lmdbio_page_size_detection(tmp_path):
+    path = str(tmp_path / "big.lmdb")
+    write_lmdb(path, [(b"a", b"1"), (b"b", b"x" * 9000)], psize=8192)
+    with LmdbReader(path) as r:
+        assert r.psize == 8192
+        assert r.get(b"b") == b"x" * 9000
+
+
+def test_lmdbio_rejects_garbage(tmp_path):
+    path = str(tmp_path / "bad.lmdb")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 8192)
+    from adsorbdiff_tpu.data.lmdbio import LmdbFormatError
+
+    with pytest.raises(LmdbFormatError):
+        LmdbReader(path)
+
+
+def test_oc20_fixture_systems():
+    """The committed fixture (reference key schema, pickled torch_geometric
+    Data with torch tensors) parses without lmdb/torch_geometric installed."""
+    systems = list(iter_lmdb_systems(FIXTURE))
+    assert len(systems) == 2
+    a, b = systems
+    assert a.sid == 41 and b.sid == 42
+    assert a.pos.shape == (100, 3) and b.pos.shape == (12, 3)
+    assert a.cell.shape == (3, 3) and a.cell[2, 2] == 30.0
+    assert a.forces is not None and a.forces.shape == (100, 3)
+    assert a.fixed.dtype == bool and a.fixed.any()
+    assert b.fixed is not None and not b.fixed.any()  # absent field -> default
+    assert np.isfinite(a.y_relaxed) and a.y_relaxed != 0.0
+    assert a.pos_relaxed.shape == (100, 3)
+    assert a.atomic_numbers.dtype == np.int32
+    assert (a.atomic_numbers >= 1).all() and (a.atomic_numbers < 80).all()
+
+
+def test_pyg2_store_pickles():
+    """PyG>=2 pickles route attributes through Data._store._mapping."""
+    import sys
+    import types
+
+    pkg = types.ModuleType("torch_geometric")
+    dm = types.ModuleType("torch_geometric.data.data")
+    sm = types.ModuleType("torch_geometric.data.storage")
+
+    class Data:
+        pass
+
+    class GlobalStorage:
+        pass
+
+    for cls, mod in ((Data, dm), (GlobalStorage, sm)):
+        cls.__module__ = mod.__name__
+        cls.__qualname__ = cls.__name__
+        setattr(mod, cls.__name__, cls)
+    sys.modules.update({
+        "torch_geometric": pkg, "torch_geometric.data": types.ModuleType("torch_geometric.data"),
+        "torch_geometric.data.data": dm, "torch_geometric.data.storage": sm,
+    })
+    try:
+        store = GlobalStorage()
+        store._mapping = {"pos": np.zeros((3, 3), np.float32), "sid": 7}
+        d = Data()
+        d._store = store
+        raw = pickle.dumps(d, protocol=2)
+    finally:
+        for name in list(sys.modules):
+            if name.startswith("torch_geometric"):
+                del sys.modules[name]
+
+    obj = loads_pyg(raw)
+    assert np.asarray(obj.pos).shape == (3, 3)
+    assert int(np.asarray(obj.sid)) == 7
+    with pytest.raises(AttributeError):
+        obj.not_there
+
+
+def test_convert_and_train_one_step(tmp_path):
+    """VERDICT item 7 end-to-end: OC20 LMDB -> shards -> one training step."""
+    out = str(tmp_path / "conv")
+    n = convert_lmdb_to_shards(FIXTURE, out)
+    assert n == 2
+    shard = out + "_00000.adshard.npz"
+    assert os.path.exists(shard)
+    ds = ShardDataset({"src": shard})
+    assert len(ds) == 2
+    sys0 = ds[0]
+    ref = list(iter_lmdb_systems(FIXTURE))[0]
+    np.testing.assert_allclose(sys0.pos, ref.pos, atol=0)
+    np.testing.assert_array_equal(sys0.atomic_numbers, ref.atomic_numbers)
+
+    from tests.test_trainer import config_for
+    from adsorbdiff_tpu.train.trainer import DenoisingTrainer
+
+    cfg = config_for(shard, run_dir=str(tmp_path), batch_size=2, max_epochs=1)
+    cfg["model"].update(hidden_channels=16, num_layers=1, num_rbf=4)
+    trainer = DenoisingTrainer(cfg)
+    trainer.train()
+    assert trainer.step >= 1
+    assert all(np.isfinite(np.asarray(x)).all() for x in
+               __import__("jax").tree.leaves(trainer.state.params))
