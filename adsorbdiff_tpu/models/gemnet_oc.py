@@ -388,19 +388,25 @@ class GemNetOC(nn.Module):
         rad_e2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_eaint")(rad_main)
         trip_mask_e2a = nl_ae.mask[..., None] & ea_in_mask
 
-        # a2a: all pairs within cutoff_aint (dense, cap-free like the config's
-        # 1000); home-cell distances only — the aint branch is a long-range
-        # radial correction and the slab z-vacuum dominates beyond one image
-        diff_aa = batch.pos[:, None, :, :] - batch.pos[:, :, None, :]
-        dist_aa = jnp.sqrt(jnp.sum(diff_aa * diff_aa, axis=-1) + 1e-12)  # grad-safe at i==j
-        aa_mask = (
-            batch.atom_mask[:, :, None]
-            & batch.atom_mask[:, None, :]
-            & (dist_aa <= self.cutoff_aint)
-            & (dist_aa > 1e-2)
-        )
-        rad_aa = self._rbf("radial_basis_aint")(dist_aa)
-        basis_a2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aint")(rad_aa)
+        # a2a: all pairs within cutoff_aint including in-plane periodic images
+        # (dense, cap-free like the config's max_neighbors_aint: 1000 under
+        # full PBC).  The PairInteraction message is linear in the embedded
+        # radial basis, so images fold into a masked per-image accumulation of
+        # the basis — downstream consumers see the same [B,N,N,emb] tensor.
+        # z-images are skipped: the slab vacuum exceeds cutoff_aint.
+        rbf_aint = self._rbf("radial_basis_aint")
+        emb_aint = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aint")
+        pair_mask = batch.atom_mask[:, :, None] & batch.atom_mask[:, None, :]
+        rx, ry = int(self.cell_reps[0]), int(self.cell_reps[1])
+        basis_a2a = 0.0
+        for oi in range(-rx, rx + 1):
+            for oj in range(-ry, ry + 1):
+                shift = oi * batch.cell[:, 0] + oj * batch.cell[:, 1]  # [B,3]
+                diff = batch.pos[:, None, :, :] + shift[:, None, None, :] - batch.pos[:, :, None, :]
+                dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # grad-safe at i==j
+                m_img = pair_mask & (dist <= self.cutoff_aint) & (dist > 1e-2)
+                basis_a2a = basis_a2a + jnp.where(m_img[..., None], emb_aint(rbf_aint(dist)), 0.0)
+        aa_mask = pair_mask  # per-image cutoffs already applied above
 
         # ---------------- embeddings (ref: forward :1272-1276) --------------
         z = batch.atomic_numbers

@@ -88,6 +88,48 @@ def test_energy_invariance_forces_equivariance(model_and_params, rng):
     np.testing.assert_allclose(np.asarray(out_t["energy"]), np.asarray(out["energy"]), rtol=2e-4, atol=2e-4)
 
 
+def test_a2a_supercell_size_consistency():
+    """Energy must be size-consistent under a 2x1 in-plane supercell: every
+    atom keeps an identical periodic environment, so E doubles exactly.  This
+    discriminates the a2a periodic-image handling — with home-cell-only a2a
+    pairs (pre-fix), boundary atoms see different aint sets in the supercell
+    (ref: gemnet_oc.py max_neighbors_aint: 1000 under full PBC)."""
+    from adsorbdiff_tpu.data.schema import System, collate
+
+    cell = np.diag([4.0, 4.0, 30.0]).astype(np.float32)
+    pos1 = np.array(
+        [[0.2, 0.3, 5.0], [2.1, 2.2, 5.1], [1.0, 3.0, 6.4], [3.3, 1.1, 7.6]], np.float32
+    )
+    z1 = np.array([29, 29, 29, 8], np.int32)
+    tags1 = np.array([0, 0, 1, 2], np.int32)
+
+    cell2 = cell.copy()
+    cell2[0, 0] *= 2
+    pos2 = np.concatenate([pos1, pos1 + np.array([4.0, 0, 0], np.float32)])
+
+    def batch_of(pos, z, tags, c):
+        sys = System(pos=pos, atomic_numbers=z, cell=c, tags=tags,
+                     fixed=tags == 0, sid=0, pos_relaxed=pos)
+        return collate([sys], max_atoms=len(pos) + 2)
+
+    kw = dict(TINY)
+    # cap-free neighbor tables + reps that cover the cutoffs in both cells
+    kw.update(cutoff=3.5, cutoff_qint=3.5, cutoff_aeaint=3.5, cutoff_aint=6.0,
+              max_neighbors=16, max_neighbors_aeaint=16, max_neighbors_qint=8,
+              cell_reps=(2, 2, 0))
+    model = GemNetOC(**kw)
+    b1 = batch_of(pos1, z1, tags1, cell)
+    b2 = batch_of(pos2, np.tile(z1, 2), np.tile(tags1, 2), cell2)
+    variables = model.init(jax.random.PRNGKey(0), b1)
+    e1 = float(model.apply(variables, b1)["energy"][0])
+    out2 = model.apply(variables, b2)
+    e2 = float(out2["energy"][0])
+    assert e2 == pytest.approx(2 * e1, rel=2e-3), (e1, e2)
+    # forces replicate across the supercell copies
+    f2 = np.asarray(out2["forces"])[0]
+    np.testing.assert_allclose(f2[:4], f2[4:8], atol=5e-4)
+
+
 def test_padding_invariance(rng):
     model = GemNetOC(**TINY)
     rng1 = np.random.default_rng(7)
