@@ -1,0 +1,118 @@
+"""Multi-chip scaling evidence on the virtual 8-device CPU mesh.
+
+This image exposes ONE physical core, so wall-clock weak-scaling curves over
+virtual CPU devices are meaningless (all 8 'devices' serialize onto the same
+core).  Scaling is therefore proven at the semantics + compile level:
+
+1. the dp-sharded sampler computes EXACTLY what the single-device sampler
+   computes (sampling is embarrassingly parallel over systems — the property
+   that makes v5e-8 ~8x the single-chip bench for free, docs/PERF.md item 4);
+2. weak scaling holds in the compiled program: the per-device GSPMD module of
+   the full training step at (8 devices, B=16) costs the same FLOPs as the
+   single-device module at B=2 — XLA sharded the batch instead of
+   replicating work;
+3. the gradient all-reduce the dp semantics require (the DDP allreduce the
+   reference gets from torch DDP, ref: trainers/base_trainer.py:442-447) is
+   present in the compiled HLO.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adsorbdiff_tpu.diffusion.sampler import reverse_diffusion
+from adsorbdiff_tpu.parallel import mesh as meshlib
+
+PARAMS = dict(num_steps=8, ads_std_low=0.1, ads_std_high=10.0, rot_std_low=0.01,
+              rot_std_high=1.55, ode=True)
+
+
+def _batch(b, seed=0):
+    from tests.test_painn import make_batch
+
+    return make_batch(np.random.default_rng(seed), b=b)
+
+
+@pytest.fixture(scope="module")
+def tiny_painn():
+    from adsorbdiff_tpu.models.painn import PaiNN
+
+    model = PaiNN(hidden_channels=32, num_layers=2, num_rbf=8, cutoff=6.0,
+                  max_neighbors=12, sampling=True, cell_reps=(1, 1, 0))
+    batch = _batch(8)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_sampler_dp_matches_single_device(tiny_painn):
+    model, variables, batch = tiny_painn
+    assert jax.device_count() >= 8
+
+    def sample(v, b, k):
+        def score_fn(cur):
+            out1, out2 = model.apply(v, cur)
+            return out1, jnp.where(cur.fixed[..., None], 0.0, out2)
+
+        return reverse_diffusion(score_fn, b, PARAMS, k).batch.pos
+
+    key = jax.random.PRNGKey(3)
+    single = jax.jit(sample)(variables, batch, key)
+
+    mesh = meshlib.make_mesh(8)
+    sharded = meshlib.shard_batch(batch, mesh)
+    repl_v = meshlib.replicate_tree(variables, mesh)
+    dp = jax.jit(sample)(repl_v, sharded, key)
+    # identical semantics; tolerance covers f32 re-association between the
+    # single-device and GSPMD compilations amplified over the iterative steps
+    # (measured max 1.3e-4 Å — below the sampler's own 1e-3 freeze tolerance)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(single), atol=1e-3)
+
+
+def _step_lowered(n_devices, batch_size):
+    from adsorbdiff_tpu.train.trainer import DenoisingTrainer
+
+    config = dict(
+        model=dict(name="painn", hidden_channels=32, num_layers=2, num_rbf=8,
+                   cutoff=6.0, max_neighbors=12, so3_denoising=True, cell_reps=(1, 1, 0)),
+        optim=dict(
+            batch_size=batch_size, lr_initial=1e-4,
+            scheduler="LambdaLR",
+            scheduler_params={"lambda_type": "cosine", "warmup_factor": 0.2,
+                              "warmup_epochs": 1, "lr_min_factor": 0.01},
+            max_epochs=1, clip_grad_norm=100, ema_decay=0.999,
+            use_denoising_pos=True,
+            denoising_pos_params=dict(num_steps=10, ads_std_low=0.1, ads_std_high=10,
+                                      rot_std_low=0.01, rot_std_high=1.55),
+        ),
+        task={}, seed=0, is_debug=True,
+    )
+    mesh = meshlib.make_mesh(n_devices) if n_devices > 1 else None
+    trainer = DenoisingTrainer(config, mesh=mesh)
+    batch = _batch(batch_size, seed=1)
+    trainer.init_state(batch)
+    sharded = meshlib.shard_batch(batch, mesh)
+    state = meshlib.replicate_tree(trainer.state, mesh) if mesh is not None else trainer.state
+    step = trainer._get_step_fn(sharded)
+    return step.lower(state, sharded, jax.random.PRNGKey(0)).compile()
+
+
+def test_weak_scaling_per_device_flops_constant():
+    """Per-device FLOPs of the compiled training step must not grow with the
+    mesh: (8 dev, B=16) module ~= (1 dev, B=2) module."""
+    c1 = _step_lowered(1, 2)
+    c8 = _step_lowered(8, 16)
+
+    def flops(compiled):
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"])
+
+    f1, f8 = flops(c1), flops(c8)
+    assert f8 <= 1.35 * f1, (f1, f8)
+    assert f8 >= 0.5 * f1, (f1, f8)  # sanity: same model actually compiled
+
+
+def test_grad_allreduce_in_hlo():
+    c8 = _step_lowered(8, 16)
+    hlo = c8.as_text()
+    assert "all-reduce" in hlo, "dp gradient all-reduce missing from compiled HLO"
