@@ -43,7 +43,7 @@ from flax import linen as nn
 from adsorbdiff_tpu.common.registry import registry
 from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
-from adsorbdiff_tpu.models.layers import gaussian_basis
+from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope, gaussian_basis
 from adsorbdiff_tpu.models.so3 import (
     edge_frame_rotation,
     l1_coeffs_to_vector,
@@ -107,15 +107,16 @@ class SO2Conv(nn.Module):
         dim = (self.lmax + 1) ** 2
         out = jnp.zeros(x.shape[:-2] + (dim, self.c_out), x.dtype)
 
+        cdt = compute_dtype()
         # m = 0: plain dense over flattened (n_l0, C) + invariant extras
         x0 = x[..., jnp.asarray(idx0), :]
         n0 = len(idx0)
         x0_flat = x0.reshape(x0.shape[:-2] + (n0 * self.c_in,))
-        gate0 = nn.Dense(n0 * self.c_in, name="rad_m0")(rad)
+        gate0 = nn.Dense(n0 * self.c_in, dtype=cdt, name="rad_m0")(rad)
         x0_flat = x0_flat * gate0
         if extra_m0 is not None:
-            x0_flat = jnp.concatenate([x0_flat, extra_m0], axis=-1)
-        y0 = nn.Dense(n0 * self.c_out, use_bias=True, name="fc_m0")(x0_flat)
+            x0_flat = jnp.concatenate([x0_flat, extra_m0.astype(x0_flat.dtype)], axis=-1)
+        y0 = nn.Dense(n0 * self.c_out, use_bias=True, dtype=cdt, name="fc_m0")(x0_flat)
         out = out.at[..., jnp.asarray(idx0), :].set(y0.reshape(y0.shape[:-1] + (n0, self.c_out)))
 
         # m > 0: complex-structured pair weights
@@ -123,10 +124,10 @@ class SO2Conv(nn.Module):
             nl = len(ip)
             xp = x[..., jnp.asarray(ip), :].reshape(x.shape[:-2] + (nl * self.c_in,))
             xn = x[..., jnp.asarray(iq), :].reshape(x.shape[:-2] + (nl * self.c_in,))
-            gate = nn.Dense(nl * self.c_in, name=f"rad_m{mi + 1}")(rad)
+            gate = nn.Dense(nl * self.c_in, dtype=cdt, name=f"rad_m{mi + 1}")(rad)
             xp, xn = xp * gate, xn * gate
-            wr = nn.Dense(nl * self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r")
-            wi = nn.Dense(nl * self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i")
+            wr = nn.Dense(nl * self.c_out, use_bias=False, dtype=cdt, name=f"fc_m{mi + 1}_r")
+            wi = nn.Dense(nl * self.c_out, use_bias=False, dtype=cdt, name=f"fc_m{mi + 1}_i")
             yp = wr(xp) - wi(xn)
             yn = wi(xp) + wr(xn)
             out = out.at[..., jnp.asarray(ip), :].set(yp.reshape(yp.shape[:-1] + (nl, self.c_out)))
@@ -145,13 +146,15 @@ class GridFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cdt = compute_dtype()
         to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
         g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid), x)  # c = coeff axis
-        g = nn.Dense(self.hidden)(g)
+        g = nn.Dense(self.hidden, dtype=cdt)(g)
         g = jax.nn.silu(g)
-        g = nn.Dense(self.hidden)(g)
+        g = nn.Dense(self.hidden, dtype=cdt)(g)
         g = jax.nn.silu(g)
-        g = nn.Dense(self.c_out)(g)
+        g = nn.Dense(self.c_out, dtype=cdt)(g)
+        g = g.astype(x.dtype)
         return jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid), g)
 
 
@@ -261,6 +264,8 @@ class EquiformerV2(nn.Module):
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
     training: bool = False
+    compute_dtype: Optional[str] = None  # "bfloat16": SO(2)-conv + grid-FFN
+    # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)
 
     def _branch_drop(self, y: jnp.ndarray) -> jnp.ndarray:
         """Residual-branch regularization: per-graph stochastic depth then the
@@ -284,6 +289,11 @@ class EquiformerV2(nn.Module):
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
+        with compute_dtype_scope(self.compute_dtype):
+            out = self._forward(batch)
+        return jax.tree.map(lambda x: x.astype(jnp.float32), out)
+
+    def _forward(self, batch: AtomsBatch):
         dim = (self.lmax + 1) ** 2
         nl, dist, unit = generate_graph(
             batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps

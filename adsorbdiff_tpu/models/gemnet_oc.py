@@ -50,7 +50,14 @@ from flax import linen as nn
 from adsorbdiff_tpu.common.registry import registry
 from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
-from adsorbdiff_tpu.models.layers import AtomEmbedding, RadialBasis, ScaleFactor, scaled_silu
+from adsorbdiff_tpu.models.layers import (
+    AtomEmbedding,
+    RadialBasis,
+    ScaleFactor,
+    compute_dtype,
+    compute_dtype_scope,
+    scaled_silu,
+)
 
 
 # --------------------------------------------------------------------------
@@ -66,7 +73,10 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.units, use_bias=self.bias, kernel_init=nn.initializers.orthogonal())(x)
+        x = nn.Dense(
+            self.units, use_bias=self.bias, dtype=compute_dtype(),
+            kernel_init=nn.initializers.orthogonal(),
+        )(x)
         return scaled_silu(x) if self.activation else x
 
 
@@ -118,13 +128,18 @@ class BasisEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, rad: jnp.ndarray, sph: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cdt = compute_dtype()
         if self.num_spherical is None:
             w = self.param("weight", nn.initializers.orthogonal(), (self.num_radial, self.emb_size))
+            if cdt is not None:
+                rad, w = rad.astype(cdt), w.astype(cdt)
             return rad @ w
         w = self.param(
             "weight", nn.initializers.orthogonal(), (self.num_radial, self.num_spherical * self.emb_size)
         )
         w = w.reshape(self.num_radial, self.num_spherical, self.emb_size)
+        if cdt is not None:
+            rad, sph, w = rad.astype(cdt), sph.astype(cdt), w.astype(cdt)
         return jnp.einsum("...r,...s,rsf->...f", rad, sph, w)
 
 
@@ -147,6 +162,9 @@ class EfficientBilinear(nn.Module):
             nn.initializers.orthogonal(),
             (self.emb_size_basis * self.emb_size_in, self.emb_size_out),
         )
+        cdt = compute_dtype()
+        if cdt is not None:
+            basis, x, w = basis.astype(cdt), x.astype(cdt), w.astype(cdt)
         basis = jnp.where(mask[..., None], basis, 0.0)
         outer = jnp.einsum("...kf,...ke->...fe", basis, x)
         flat = outer.reshape(outer.shape[:-2] + (self.emb_size_basis * self.emb_size_in,))
@@ -255,6 +273,8 @@ class GemNetOC(nn.Module):
     so3_denoising: bool = True
     energy_encoding: Optional[str] = None
     sampling: bool = False
+    compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
+    # bilinear / basis-embedding matmuls in bf16 (params + geometry stay f32)
 
     def _rbf(self, name: str):
         return RadialBasis(
@@ -267,6 +287,12 @@ class GemNetOC(nn.Module):
 
     @nn.compact
     def __call__(self, batch: AtomsBatch):
+        with compute_dtype_scope(self.compute_dtype):
+            out = self._forward(batch)
+        # feature paths may run bf16; the contract is f32 outputs
+        return jax.tree.map(lambda x: x.astype(jnp.float32), out)
+
+    def _forward(self, batch: AtomsBatch):
         eps = 1e-9
         # ---------------- graphs (ref: get_graphs_and_indices :989-1123) ----
         nl, dist, unit = generate_graph(

@@ -22,6 +22,34 @@ def scaled_silu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.silu(x) * (1.0 / 0.6)
 
 
+# --------------------------------------------------------------------------
+# compute-dtype context: replaces torch.cuda.amp autocast (--amp). Models with
+# many feature-path Dense sites (GemNet-OC, EqV2) set this for the extent of
+# their __call__; the layer primitives read it at TRACE time, so geometry math
+# outside the layers stays f32 while feature matmuls run bf16 with f32 params.
+# --------------------------------------------------------------------------
+import contextlib
+from contextvars import ContextVar
+
+_COMPUTE_DTYPE: ContextVar = ContextVar("adsorbdiff_compute_dtype", default=None)
+
+
+def compute_dtype():
+    """The active feature-path compute dtype (None => full precision)."""
+    return _COMPUTE_DTYPE.get()
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype_name):
+    """Set the feature compute dtype ('bfloat16' or None) for a model body."""
+    dt = jnp.bfloat16 if dtype_name == "bfloat16" else None
+    token = _COMPUTE_DTYPE.set(dt)
+    try:
+        yield dt
+    finally:
+        _COMPUTE_DTYPE.reset(token)
+
+
 class AtomEmbedding(nn.Module):
     """Element embedding, looked up at Z-1 (Z>=1), uniform(-sqrt3, sqrt3) init.
 

@@ -252,11 +252,12 @@ class PaiNN(nn.Module):
     @nn.compact
     def __call__(self, batch: AtomsBatch, static_graph=None):
         # The Pallas message kernel recomputes the radial basis in-VMEM
-        # assuming gaussian RBF x polynomial envelope and has no custom VJP
-        # yet — gate it to inference (sampling) and the published basis so a
-        # training run or a differently configured basis silently falls back
-        # to the XLA path instead of diverging/failing under jax.grad.
-        use_pallas = self.use_pallas and self.sampling
+        # assuming gaussian RBF x polynomial envelope; training works too (the
+        # kernel carries a custom VJP with a mirrored Pallas backward —
+        # ops/pallas_kernels.py). NOTE the VJP returns ZERO cotangents for the
+        # geometry inputs (dist/unit): fine for score/energy-head training,
+        # NOT for losses that differentiate through positions.
+        use_pallas = self.use_pallas
         if use_pallas:
             rbf_name = (self.rbf or {"name": "gaussian"}).get("name", "gaussian")
             env_name = (self.envelope or {"name": "polynomial"}).get("name", "polynomial")

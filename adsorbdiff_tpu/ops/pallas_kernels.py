@@ -310,7 +310,6 @@ def _painn_message_fused_kernel(
         dvec_ref[0, 0, :, d * h : (d + 1) * h] = contrib
 
 
-@functools.partial(jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti"))
 def painn_message_fused(
     xh: jnp.ndarray,  # [B, N, 3H] node features (bf16 recommended)
     vec: jnp.ndarray,  # [B, N, 3H] node vec features (3,H flattened)
@@ -339,7 +338,69 @@ def painn_message_fused(
     coordinate, so Mosaic keeps it resident across the inner grid dimension.
 
     Returns (dx [B, N, H] f32, dvec [B, N, 3, H] f32), pre-1/sqrt(H) scale.
+
+    DIFFERENTIABLE via a custom VJP (a mirrored Pallas backward kernel) w.r.t.
+    ``xh``, ``vec``, ``weights``, ``bias`` — the activation/parameter paths a
+    training step needs.  Cotangents w.r.t. the GEOMETRY inputs (``dist``,
+    ``unit``) are ZERO by construction: no loss in this framework
+    differentiates through atom positions (scores are direct head outputs,
+    ref: sde_denoising_trainer.py loss on model outputs), so position
+    gradients must not be routed through this op.
     """
+    return _painn_message_fused_vjp(
+        xh, vec, src, dist, mask, unit, weights, bias, cutoff, envelope_exponent, ti
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _painn_message_fused_vjp(xh, vec, src, dist, mask, unit, weights, bias,
+                             cutoff, envelope_exponent, ti):
+    return _painn_message_fused_impl(
+        xh, vec, src, dist, mask, unit, weights, bias,
+        cutoff=cutoff, envelope_exponent=envelope_exponent, ti=ti,
+    )
+
+
+def _painn_fused_fwd(xh, vec, src, dist, mask, unit, weights, bias,
+                     cutoff, envelope_exponent, ti):
+    out = _painn_message_fused_impl(
+        xh, vec, src, dist, mask, unit, weights, bias,
+        cutoff=cutoff, envelope_exponent=envelope_exponent, ti=ti,
+    )
+    return out, (xh, vec, src, dist, mask, unit, weights, bias)
+
+
+def _painn_fused_bwd(cutoff, envelope_exponent, ti, res, cts):
+    import numpy as np
+
+    xh, vec, src, dist, mask, unit, weights, bias = res
+    dx_ct, dvec_ct = cts
+    dxh, dvec, dw, db = _painn_message_fused_bwd_impl(
+        xh, vec, src, dist, mask, unit, weights, bias, dx_ct, dvec_ct,
+        cutoff=cutoff, envelope_exponent=envelope_exponent,
+        ti=min(ti, 4),  # backward holds more [E,3H] temps in VMEM
+    )
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (
+        dxh.astype(xh.dtype),
+        dvec.astype(vec.dtype),
+        f0(src),
+        jnp.zeros_like(dist),  # geometry: no position grads (see docstring)
+        f0(mask),
+        jnp.zeros_like(unit),
+        dw.astype(weights.dtype),
+        db.astype(bias.dtype),
+    )
+
+
+_painn_message_fused_vjp.defvjp(_painn_fused_fwd, _painn_fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti"))
+def _painn_message_fused_impl(
+    xh, vec, src, dist, mask, unit, weights, bias,
+    *, cutoff: float, envelope_exponent: int = 5, ti: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, n, k = src.shape
     num_radial, f3 = weights.shape
     h = f3 // 3
@@ -405,6 +466,209 @@ def painn_message_fused(
     dx = dx.reshape(b, n_pad, h)[:, :n]
     dvec = dvec.reshape(b, n_pad, f3)[:, :n]
     return dx, dvec.reshape(b, n, 3, h)
+
+
+# ---------------------------------------------------------------------------
+# backward of the fully fused message op (custom VJP)
+# ---------------------------------------------------------------------------
+def _painn_message_fused_bwd_kernel(
+    src_col_ref,  # [1, 1, E, 1] i32 — one-hot gather matrix G[e, node]
+    src_row_ref,  # [1, 1, 1, E] i32 — transposed one-hot G^T[node, e]
+    dist_col_ref,  # [1, 1, E, 1] f32 — basis [E, R] (filter recompute)
+    dist_row_ref,  # [1, 1, 1, E] f32 — basis^T [R, E] (dW matmul; mosaic
+    #                forbids in-kernel transposes, so both layouts come from host)
+    mask_col_ref,  # [1, 1, E, 1] f32
+    unit_col_ref,  # [1, 1, E, 3] f32
+    xh_ref,  # [1, N, 3H]
+    vec_ref,  # [1, N, 3H]
+    w_ref,  # [R, 3H] f32
+    b_ref,  # [1, 3H] f32
+    gdx_ref,  # [1, 1, TI, H] f32 — cotangent of dx
+    gdv_ref,  # [1, 1, TI, 3H] f32 — cotangent of dvec (3,H flattened)
+    dxh_ref,  # [1, N, 3H] f32 out, accumulated over target tiles
+    dvec_ref,  # [1, N, 3H] f32 out
+    dw_ref,  # [R, 3H] f32 out, accumulated over the whole grid
+    db_ref,  # [1, 3H] f32 out
+    *,
+    ti: int,
+    k: int,
+    n: int,
+    h: int,
+    num_radial: int,
+    inv_cutoff: float,
+    envelope_exponent: int,
+):
+    inv_sqrt_3 = 1.0 / math.sqrt(3.0)
+    e = ti * k
+    cdt = xh_ref.dtype
+
+    # ---- forward recompute (cheaper than saving [E,3H] residuals to HBM) ---
+    src = src_col_ref[0, 0]  # [E, 1]
+    node_ids = jax.lax.broadcasted_iota(jnp.int32, (e, n), 1)
+    g_mat = (node_ids == src).astype(cdt)  # [E, N]
+    xh_g = jnp.dot(g_mat, xh_ref[0], preferred_element_type=jnp.float32)  # [E, 3H]
+    vec_g = jnp.dot(g_mat, vec_ref[0], preferred_element_type=jnp.float32)
+
+    p = float(envelope_exponent)
+    a_env = -(p + 1) * (p + 2) / 2
+    b_env = p * (p + 2)
+    c_env = -p * (p + 1) / 2
+
+    def envelope(ds):
+        dp = ds**p
+        env = 1 + a_env * dp + b_env * dp * ds + c_env * dp * ds * ds
+        return jnp.where(ds < 1.0, env, 0.0)
+
+    d_col = dist_col_ref[0, 0] * inv_cutoff  # [E, 1]
+    off_row = jax.lax.broadcasted_iota(jnp.int32, (1, num_radial), 1).astype(jnp.float32) / (num_radial - 1)
+    coeff = -0.5 * ((num_radial - 1) ** 2)
+    diff = d_col - off_row
+    basis = jnp.exp(coeff * diff * diff) * envelope(d_col)  # [E, R]
+
+    mask_col = mask_col_ref[0, 0]  # [E, 1]
+    w = (jnp.dot(basis, w_ref[:], preferred_element_type=jnp.float32) + b_ref[:]) * mask_col  # [E, 3H]
+    g2 = xh_g[:, h : 2 * h] * w[:, h : 2 * h] * inv_sqrt_3  # [E, H]
+
+    # ---- expand target cotangents to edges (S^T matmuls) -------------------
+    row_e = jax.lax.broadcasted_iota(jnp.int32, (e, ti), 0) // k
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (e, ti), 1)
+    s_t = (row_e == col_t).astype(jnp.float32)  # [E, TI]
+    gx_e = jnp.dot(s_t, gdx_ref[0, 0], preferred_element_type=jnp.float32)  # [E, H]
+
+    gdv = gdv_ref[0, 0]  # [TI, 3H]
+    gdv_e = [
+        jnp.dot(s_t, gdv[:, d * h : (d + 1) * h], preferred_element_type=jnp.float32)
+        for d in range(3)
+    ]  # 3 x [E, H]
+    g3hat = sum(unit_col_ref[0, 0, :, d : d + 1] * gdv_e[d] for d in range(3))  # [E, H]
+    g2raw = sum(vec_g[:, d * h : (d + 1) * h] * gdv_e[d] for d in range(3))  # [E, H]
+    ghat = jnp.concatenate([gx_e, inv_sqrt_3 * g2raw, g3hat], axis=1)  # [E, 3H]
+
+    # ---- products ----------------------------------------------------------
+    dxh_g = ghat * w  # [E, 3H] cotangent of gathered xh
+    dvec_g = jnp.concatenate([g2 * gdv_e[d] for d in range(3)], axis=1)  # [E, 3H]
+    dfil = ghat * xh_g * mask_col  # [E, 3H] cotangent of (basis @ W + b)
+
+    # ---- scatter to nodes via the transposed one-hot matmul ----------------
+    node_ids_t = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    g_t = (node_ids_t == src_row_ref[0, 0]).astype(jnp.float32)  # [N, E]
+    acc_x = jnp.dot(g_t, dxh_g, preferred_element_type=jnp.float32)  # [N, 3H]
+    acc_v = jnp.dot(g_t, dvec_g, preferred_element_type=jnp.float32)
+
+    # basis^T from the row layout (same math as `basis`, transposed)
+    d_row = dist_row_ref[0, 0] * inv_cutoff  # [1, E]
+    off_col = jax.lax.broadcasted_iota(jnp.int32, (num_radial, 1), 0).astype(jnp.float32) / (num_radial - 1)
+    diff_t = d_row - off_col  # [R, E]
+    basis_t = jnp.exp(coeff * diff_t * diff_t) * envelope(d_row)
+    dw_partial = jnp.dot(basis_t, dfil, preferred_element_type=jnp.float32)  # [R, 3H]
+    db_partial = jnp.sum(dfil, axis=0, keepdims=True)  # [1, 3H]
+
+    # ---- grid accumulation (sequential TPU grid; canonical revisit pattern) -
+    t_first = pl.program_id(1) == 0
+    all_first = jnp.logical_and(pl.program_id(0) == 0, t_first)
+
+    @pl.when(t_first)
+    def _():
+        dxh_ref[0] = acc_x
+        dvec_ref[0] = acc_v
+
+    @pl.when(jnp.logical_not(t_first))
+    def _():
+        dxh_ref[0] += acc_x
+        dvec_ref[0] += acc_v
+
+    @pl.when(all_first)
+    def _():
+        dw_ref[:] = dw_partial
+        db_ref[:] = db_partial
+
+    @pl.when(jnp.logical_not(all_first))
+    def _():
+        dw_ref[:] += dw_partial
+        db_ref[:] += db_partial
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti"))
+def _painn_message_fused_bwd_impl(
+    xh, vec, src, dist, mask, unit, weights, bias, dx_ct, dvec_ct,
+    *, cutoff: float, envelope_exponent: int = 5, ti: int = 4,
+):
+    """Backward pass of :func:`painn_message_fused` — same data layout and
+    grid as the forward; filters and gathers are recomputed in VMEM, node
+    scatters are G^T one-hot matmuls, and dW/db accumulate across the
+    (sequential) grid into resident output blocks."""
+    b, n, k = src.shape
+    num_radial, f3 = weights.shape
+    h = f3 // 3
+    n_pad = _round_up(n, ti)
+    t_tiles = n_pad // ti
+    e = ti * k
+
+    def pad_n(x, axis=1):
+        if n_pad == n:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, n_pad - n)
+        return jnp.pad(x, widths)
+
+    src_p = pad_n(src).reshape(b, t_tiles, e)
+    dist_p = pad_n(dist.astype(jnp.float32)).reshape(b, t_tiles, e)
+    mask_p = pad_n(mask.astype(jnp.float32)).reshape(b, t_tiles, e, 1)
+    unit_p = pad_n(unit.astype(jnp.float32)).reshape(b, t_tiles, e, 3)
+    gdx_p = pad_n(dx_ct.astype(jnp.float32)).reshape(b, t_tiles, ti, h)
+    gdv_p = pad_n(dvec_ct.astype(jnp.float32).reshape(b, n, f3)).reshape(b, t_tiles, ti, f3)
+
+    kernel = functools.partial(
+        _painn_message_fused_bwd_kernel,
+        ti=ti, k=k, n=n, h=h, num_radial=num_radial,
+        inv_cutoff=1.0 / cutoff, envelope_exponent=envelope_exponent,
+    )
+    dxh, dvec, dw, db = pl.pallas_call(
+        kernel,
+        grid=(b, t_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, e, 1), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, e), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, 1), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, e), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, 1), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, 3), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, f3), lambda s, t: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, f3), lambda s, t: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_radial, f3), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ti, h), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ti, f3), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, f3), lambda s, t: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, f3), lambda s, t: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_radial, f3), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f3), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, f3), jnp.float32),
+            jax.ShapeDtypeStruct((num_radial, f3), jnp.float32),
+            jax.ShapeDtypeStruct((1, f3), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        src_p[..., None],
+        src_p[:, :, None, :],
+        dist_p[..., None],
+        dist_p[:, :, None, :],
+        mask_p,
+        unit_p,
+        xh,
+        vec,
+        weights.astype(jnp.float32),
+        bias.reshape(1, f3).astype(jnp.float32),
+        gdx_p,
+        gdv_p,
+    )
+    # dvec cotangent keeps the primal's flattened [B, N, 3H] layout
+    return dxh, dvec, dw, db.reshape(f3)
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,19 @@ def test_gradients_finite(model_and_params, rng):
 
     g = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_compute_dtype_bf16(model_and_params, rng):
+    """--amp path: SO(2)-conv/grid-FFN matmuls in bf16, f32 outputs close to
+    the full-precision forward."""
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    f32, _ = model.apply(variables, batch)
+    m16 = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, compute_dtype="bfloat16")
+    f16, _ = m16.apply(variables, batch)
+    assert f16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(f16)).all()
+    scale = np.abs(np.asarray(f32)).max()
+    np.testing.assert_allclose(np.asarray(f16), np.asarray(f32), atol=0.05 * scale + 1e-6)
+    v16 = m16.init(jax.random.PRNGKey(0), batch)
+    assert jax.tree.structure(v16["params"]) == jax.tree.structure(variables["params"])

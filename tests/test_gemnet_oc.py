@@ -232,3 +232,22 @@ def test_symmetric_mp_toggles_output(rng, model_and_params):
     out_off = model_off.apply(grafted, batch)
     d = np.abs(np.asarray(out_sym["forces"]) - np.asarray(out_off["forces"])).max()
     assert d > 1e-6
+
+
+def test_compute_dtype_bf16(model_and_params, rng):
+    """--amp path: feature matmuls in bf16, f32 params/outputs, results close
+    to the f32 forward (replaces torch.cuda.amp autocast)."""
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    out32 = model.apply(variables, batch)
+    m16 = GemNetOC(**TINY, compute_dtype="bfloat16")
+    out16 = m16.apply(variables, batch)
+    assert out16["energy"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out16["forces"])).all()
+    scale = np.abs(np.asarray(out32["forces"])).max()
+    np.testing.assert_allclose(
+        np.asarray(out16["forces"]), np.asarray(out32["forces"]), atol=0.05 * scale + 1e-6
+    )
+    # same param pytree (bf16 is compute-only)
+    v16 = m16.init(jax.random.PRNGKey(0), batch)
+    assert jax.tree.structure(v16["params"]) == jax.tree.structure(variables["params"])

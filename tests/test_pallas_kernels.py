@@ -52,12 +52,41 @@ def test_painn_message_consumer_matches_xla_path(rng):
     batch = make_batch(rng)
     m_ref = PaiNN(**MODEL_KW, so3_denoising=True)
     variables = m_ref.init(jax.random.PRNGKey(0), batch)
-    # sampling=True: the pallas path is inference-gated (no custom VJP yet)
     m_pal = PaiNN(**MODEL_KW, so3_denoising=True, use_pallas=True, sampling=True)
     f_ref = m_ref.apply(variables, batch)
     f_pal = m_pal.apply(variables, batch)
     np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f_pal[1]), np.asarray(f_ref[1]), atol=5e-5, rtol=1e-4)
+
+
+def test_painn_training_grads_through_pallas_match_xla(rng):
+    """Full-model training parity: param gradients with use_pallas=True
+    (custom-VJP kernel, training mode) match the XLA path."""
+    import jax
+
+    from adsorbdiff_tpu.models.painn import PaiNN
+    from tests.test_painn import MODEL_KW, make_batch
+
+    batch = make_batch(rng)
+    m_ref = PaiNN(**MODEL_KW, so3_denoising=True)
+    m_pal = PaiNN(**MODEL_KW, so3_denoising=True, use_pallas=True)  # NOT sampling
+    variables = m_ref.init(jax.random.PRNGKey(0), batch)
+
+    def loss(model):
+        def f(params):
+            f1, f2 = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}}, batch)
+            return jnp.mean(f1**2) + jnp.mean(f2**2)
+
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(variables["params"])
+    g_pal = jax.grad(loss(m_pal))(variables["params"])
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_pal = jax.tree.leaves(g_pal)
+    assert len(flat_ref) == len(flat_pal)
+    for a, b in zip(flat_pal, flat_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=1e-5 + 1e-3 * np.abs(b).max())
 
 
 def test_tiled_consumer_matches_single(rng):
@@ -101,3 +130,97 @@ def test_fused_gather_kernel_matches_tiled(rng):
     dx, dv = painn_message_fused(xh, vec, src, dist, mask, unit, w, bias, cutoff=6.0, ti=8)
     np.testing.assert_allclose(np.asarray(dx).reshape(b * n, h), np.asarray(dx_ref), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dv).reshape(b * n, 3, h), np.asarray(dv_ref), atol=1e-4, rtol=1e-4)
+
+
+def _jnp_message_reference(xh, vec, src, dist, mask, unit, w, bias, cutoff, exponent=5):
+    """Pure-jnp forward of painn_message_fused for autodiff comparison."""
+    b, n, k = src.shape
+    f3 = w.shape[1]
+    h = f3 // 3
+    d = dist / cutoff
+    p = float(exponent)
+    env = 1 + (-(p + 1) * (p + 2) / 2) * d**p + p * (p + 2) * d ** (p + 1) + (-p * (p + 1) / 2) * d ** (p + 2)
+    env = jnp.where(d < 1.0, env, 0.0)
+    r = w.shape[0]
+    offs = jnp.arange(r) / (r - 1)
+    basis = jnp.exp(-0.5 * (r - 1) ** 2 * (d[..., None] - offs) ** 2) * env[..., None]
+    filt = jnp.where(mask[..., None], basis @ w + bias, 0.0)  # [B,N,K,3H]
+    xh_g = jnp.take_along_axis(xh, src.reshape(b, n * k)[..., None], axis=1).reshape(b, n, k, f3)
+    vec_g = jnp.take_along_axis(vec, src.reshape(b, n * k)[..., None], axis=1).reshape(b, n, k, f3)
+    g = xh_g * filt
+    g1, g2, g3 = g[..., :h], g[..., h : 2 * h] / jnp.sqrt(3.0), g[..., 2 * h :]
+    dx = jnp.sum(g1, axis=2)
+    dvec = jnp.einsum("bnkd,bnkh->bndh", unit, g3) + jnp.stack(
+        [jnp.sum(vec_g[..., d * h : (d + 1) * h] * g2, axis=2) for d in range(3)], axis=2
+    )
+    return dx, dvec
+
+
+def test_fused_kernel_custom_vjp_matches_autodiff(rng):
+    """Gradients through the Pallas backward kernel == autodiff through the
+    pure-jnp reference, for xh / vec / weights / bias (the training paths)."""
+    from adsorbdiff_tpu.ops.pallas_kernels import painn_message_fused
+
+    b, n, k, r, h = 2, 13, 10, 16, 64
+    src = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    dist = jnp.asarray(rng.uniform(0, 7, (b, n, k)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    unit = jnp.asarray(rng.normal(0, 1, (b, n, k, 3)).astype(np.float32))
+    xh = jnp.asarray(rng.normal(0, 1, (b, n, 3 * h)).astype(np.float32))
+    vec = jnp.asarray(rng.normal(0, 1, (b, n, 3 * h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (r, 3 * h)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, 3 * h).astype(np.float32))
+    # a non-trivial cotangent structure: weighted sums of both outputs
+    cx = jnp.asarray(rng.normal(0, 1, (b, n, h)).astype(np.float32))
+    cv = jnp.asarray(rng.normal(0, 1, (b, n, 3, h)).astype(np.float32))
+
+    def loss_fused(xh, vec, w, bias):
+        dx, dv = painn_message_fused(xh, vec, src, dist, mask, unit, w, bias, cutoff=6.0, ti=4)
+        return jnp.sum(dx * cx) + jnp.sum(dv * cv)
+
+    def loss_ref(xh, vec, w, bias):
+        dx, dv = _jnp_message_reference(xh, vec, src, dist, mask, unit, w, bias, 6.0)
+        return jnp.sum(dx * cx) + jnp.sum(dv * cv)
+
+    # forward parity first
+    np.testing.assert_allclose(
+        float(loss_fused(xh, vec, w, bias)), float(loss_ref(xh, vec, w, bias)), rtol=1e-4
+    )
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xh, vec, w, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(xh, vec, w, bias)
+    for a, b_, name in zip(g_fused, g_ref, ("xh", "vec", "w", "bias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_fused_kernel_vjp_inside_train_like_step(rng):
+    """value_and_grad through a 2-layer composition (jit + donation-style use)."""
+    from adsorbdiff_tpu.ops.pallas_kernels import painn_message_fused
+
+    b, n, k, r, h = 1, 8, 6, 8, 32
+    src = jnp.asarray(rng.integers(0, n, (b, n, k)).astype(np.int32))
+    dist = jnp.asarray(rng.uniform(0, 5, (b, n, k)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, n, k)) > 0.2)
+    unit = jnp.asarray(rng.normal(0, 1, (b, n, k, 3)).astype(np.float32))
+    xh0 = jnp.asarray(rng.normal(0, 1, (b, n, 3 * h)).astype(np.float32))
+    params = {
+        "w1": jnp.asarray(rng.normal(0, 0.2, (r, 3 * h)).astype(np.float32)),
+        "b1": jnp.zeros(3 * h),
+        "w2": jnp.asarray(rng.normal(0, 0.2, (r, 3 * h)).astype(np.float32)),
+        "b2": jnp.zeros(3 * h),
+    }
+
+    @jax.jit
+    def loss(params):
+        vec = jnp.zeros_like(xh0)
+        dx, dv = painn_message_fused(xh0, vec, src, dist, mask, unit, params["w1"], params["b1"], cutoff=6.0, ti=4)
+        xh1 = jnp.tile(dx, (1, 1, 3))
+        dx2, dv2 = painn_message_fused(
+            xh1, dv.reshape(b, n, 3 * h), src, dist, mask, unit, params["w2"], params["b2"], cutoff=6.0, ti=4
+        )
+        return jnp.mean(dx2**2) + jnp.mean(dv2**2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
