@@ -60,3 +60,17 @@ def test_sampler_recovers_learned_site(tmp_path, rng):
     # random uniform placement on this cell averages ~2.8 A from the site;
     # a trained model must do much better even at this tiny budget
     assert err_xy < 1.6, f"sampler did not move toward the learned site: {err_xy:.2f} A"
+
+    # north-star metric on the synthetic landscape: score each final pose with
+    # a harmonic "DFT" energy about the true site (k = 0.1 eV/A^2, min = 0)
+    # and run the reference success criterion (ref: scripts/eval.py:582-586).
+    # Sampled poses must beat the analytic random-placement success rate.
+    from adsorbdiff_tpu.eval_tools import is_successful
+
+    k_spring = 0.1
+    d_xy = np.linalg.norm(d[:, :2], axis=1)
+    pred_energies = k_spring * d_xy**2
+    success = np.array([is_successful(float(e), 0.0) for e in pred_energies])
+    # success iff d < 1 A; uniform placement on the 8x8 cell (min-image) gives
+    # P(d<1) = pi/64 ~ 0.049 — demand far above that
+    assert success.mean() >= 0.5, (success.mean(), d_xy)
