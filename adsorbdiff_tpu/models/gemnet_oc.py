@@ -127,8 +127,20 @@ class BasisEmbedding(nn.Module):
     num_spherical: Optional[int] = None
 
     @nn.compact
-    def __call__(self, rad: jnp.ndarray, sph: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, rad: jnp.ndarray, sph: Optional[jnp.ndarray] = None,
+                 radw_only: bool = False) -> jnp.ndarray:
         cdt = compute_dtype()
+        if radw_only:
+            # partial application: contract only the radial axis, return
+            # [..., S, F] for callers that contract the spherical axis in a
+            # factorized order (see the quad interaction)
+            assert self.num_spherical is not None
+            w = self.param(
+                "weight", nn.initializers.orthogonal(), (self.num_radial, self.num_spherical * self.emb_size)
+            ).reshape(self.num_radial, self.num_spherical, self.emb_size)
+            if cdt is not None:
+                rad, w = rad.astype(cdt), w.astype(cdt)
+            return jnp.einsum("...r,rsf->...sf", rad, w)
         if self.num_spherical is None:
             w = self.param("weight", nn.initializers.orthogonal(), (self.num_radial, self.emb_size))
             if cdt is not None:
@@ -156,17 +168,20 @@ class EfficientBilinear(nn.Module):
     emb_size_out: int
 
     @nn.compact
-    def __call__(self, basis, x, mask):
+    def __call__(self, basis=None, x=None, mask=None, *, outer=None):
         w = self.param(
             "weight",
             nn.initializers.orthogonal(),
             (self.emb_size_basis * self.emb_size_in, self.emb_size_out),
         )
         cdt = compute_dtype()
+        if outer is None:
+            if cdt is not None:
+                basis, x = basis.astype(cdt), x.astype(cdt)
+            basis = jnp.where(mask[..., None], basis, 0.0)
+            outer = jnp.einsum("...kf,...ke->...fe", basis, x)
         if cdt is not None:
-            basis, x, w = basis.astype(cdt), x.astype(cdt), w.astype(cdt)
-        basis = jnp.where(mask[..., None], basis, 0.0)
-        outer = jnp.einsum("...kf,...ke->...fe", basis, x)
+            outer, w = outer.astype(cdt), w.astype(cdt)
         flat = outer.reshape(outer.shape[:-2] + (self.emb_size_basis * self.emb_size_in,))
         return flat @ w
 
@@ -335,10 +350,16 @@ class GemNetOC(nn.Module):
             -nl.cell_offsets[:, :, :, None, :],
         )
         trip_mask_e2e = emask[..., None] & in_mask & ~back
-        cbf_e2e = legendre_y_l0(cos_e2e, self.num_spherical)
-        cir_e2e = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint")(
-            rad_main[:, :, :, None, :], cbf_e2e
-        )
+        # factorized triplet basis (same reordering as the quad interaction:
+        # cir[u,k,f] = sum_s cbf[u,k,s] * radW[u,s,f], so the bilinear's
+        # k-contraction runs against the S-component cbf instead of a
+        # materialized [B,N,K1,K2,F] cir tensor)
+        cbf_e2e = jnp.where(
+            trip_mask_e2e[..., None], legendre_y_l0(cos_e2e, self.num_spherical), 0.0
+        )  # [B,N,K1,K2,S], mask folded
+        radw_tint = BasisEmbedding(
+            self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint"
+        )(rad_main, radw_only=True)  # [B,N,K1,S,F]
         rad_e2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_tint")(rad_main)
 
         # quadruplets: edge ca (a,k1), qint edge ab (a,kq), in-edge db of b (b,k2)
@@ -363,13 +384,22 @@ class GemNetOC(nn.Module):
                 jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), eps
             )
             cos_dih = jnp.clip(cos_dih, -1.0, 1.0)  # [B,N,K1,Kq,K2]
-            sbf_raw = (
-                legendre_y_l0(cos_cab[..., None], self.num_spherical)[..., :, None]
-                * legendre_y_l0(cos_dih, self.num_spherical)[..., None, :]
-            ).reshape(cos_dih.shape + (self.num_spherical**2,))
-            sph_q = BasisEmbedding(self.num_radial, self.emb_size_sbf, self.num_spherical**2, name="mlp_sbf_qint")(
-                rad_main[:, :, :, None, None, :], sbf_raw
-            )  # [B,N,K1,Kq,K2,emb_sbf]
+            # The quad spherical basis factorizes: sbf[(i,j)] = Ya_i(cab) *
+            # Yd_j(dihedral), and the quad mask factorizes as m1(k1,kq) *
+            # m2(kq,k2) — so the (basis-embed x message) contraction reorders
+            # into small per-factor einsums.  A direct dense build
+            # ([B,N,K1,Kq,K2,S^2] basis + its R-contraction) costs ~9 TFLOP
+            # and ~9 GB at published size; this order costs ~0.1 TFLOP and
+            # peaks at the [B,N,K1,Kq,K2,S] Legendre transient.  Same math as
+            # ref layers/efficient.py EfficientInteractionBilinear, dense form.
+            sph_w = BasisEmbedding(
+                self.num_radial, self.emb_size_sbf, self.num_spherical**2, name="mlp_sbf_qint"
+            )
+            # radW: [B,N,K1,(i,j),F] -> reshape (i, j) apart
+            radw = sph_w(rad_main, radw_only=True).reshape(
+                rad_main.shape[:3] + (self.num_spherical, self.num_spherical, self.emb_size_sbf)
+            )
+            y_cab = legendre_y_l0(cos_cab, self.num_spherical)  # [B,N,K1,Kq,S]
             rad_qint_edges = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_qint")(rad_main)
             # quad validity: b != c, d != a
             b_is_c = _same_edge(
@@ -383,24 +413,25 @@ class GemNetOC(nn.Module):
                 a_idx[:, :, None, None],
                 -nl_q.cell_offsets[:, :, :, None, :],
             )  # [B,N,Kq,K2]
-            quad_mask = (
-                emask[:, :, :, None, None]
-                & qmask[:, :, None, :, None]
-                & q_in_mask[:, :, None, :, :]
-                & ~b_is_c[..., None]
-                & ~d_is_a[:, :, None, :, :]
-            )  # [B,N,K1,Kq,K2]
+            # quad mask, factorized: m1 over (k1,kq), m2 over (kq,k2)
+            quad_m1 = emask[:, :, :, None] & qmask[:, :, None, :] & ~b_is_c  # [B,N,K1,Kq]
+            quad_m2 = q_in_mask & ~d_is_a  # [B,N,Kq,K2]
+            # fold m1 into the (cab x radW) factor, computed once for all blocks
+            ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
+            quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", ya_m1, radw)  # [B,N,K1,Kq,S,F]
 
         # a2e triplets: out edge (a,k1,src c); a2ee2a neighbors of c: (c,k2,src d) -> message from h[d]
         ae_in_unit = _gather_rows(unit_ae, nl.src)  # [B,N,K1,K2ae,3]
         ae_in_mask = _gather_rows(nl_ae.mask, nl.src)
         cos_a2e = _cos_clamped(-unit[:, :, :, None, :], ae_in_unit)
-        cbf_a2e = legendre_y_l0(cos_a2e, self.num_spherical)
-        cir_a2e = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint")(
-            rad_main[:, :, :, None, :], cbf_a2e
-        )
-        rad_a2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aeint")(rad_ae)
         trip_mask_a2e = emask[..., None] & ae_in_mask
+        cbf_a2e = jnp.where(
+            trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
+        )  # [B,N,K1,K2ae,S], mask folded (factorized, see e2e)
+        radw_aeint = BasisEmbedding(
+            self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint"
+        )(rad_main, radw_only=True)  # [B,N,K1,S,F]
+        rad_a2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aeint")(rad_ae)
 
         # e2a triplets: out ATOM a; a2ee2a neighbors (a,kb, src b); in-edges of b (b,k2, src d)
         ea_in_unit = _gather_rows(unit, nl_ae.src)  # [B,N,Kae,K1,3]
@@ -491,8 +522,10 @@ class GemNetOC(nn.Module):
             )
             x_ba = DenseLayer(self.emb_size_trip_in, name=f"{name}_tint_down")(x_ba)
             x_in = _gather_rows(x_ba, nl.src)  # [B,N,K1,K2,ei] in-edge embeddings
+            d_t = jnp.einsum("bnuks,bnuke->bnuse", cbf_e2e, x_in)
+            outer_t = jnp.einsum("bnusf,bnuse->bnufe", radw_tint.astype(d_t.dtype), d_t)
             x_t = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
-                                    name=f"{name}_tint_bilinear")(cir_e2e, x_in, trip_mask_e2e)
+                                    name=f"{name}_tint_bilinear")(outer=outer_t)
             x_t = ScaleFactor(name=f"{name}_tint_scale_sum")(x_t)
             x_e2e = DenseLayer(self.emb_size_edge, name=f"{name}_tint_up")(x_t)
             if self.symmetric_mp:
@@ -512,15 +545,15 @@ class GemNetOC(nn.Module):
                 x_db_t = _gather_rows(x_db, nl_q.src)  # [B,N,Kq,K2,eq]
                 cbf_gate = DenseLayer(self.emb_size_quad_in, activation=False, name=f"{name}_qint_cbf_gate")(cir_q)
                 x_db_t = ScaleFactor(name=f"{name}_qint_scale_cbf")(x_db_t * cbf_gate)
-                # expand over out edges k1 and contract (kq, k2) with sbf
-                quad_x = jnp.broadcast_to(
-                    x_db_t[:, :, None, :, :, :],
-                    sph_q.shape[:-1] + (self.emb_size_quad_in,),
-                ).reshape(sph_q.shape[0], sph_q.shape[1], sph_q.shape[2], -1, self.emb_size_quad_in)
-                quad_b = sph_q.reshape(sph_q.shape[0], sph_q.shape[1], sph_q.shape[2], -1, self.emb_size_sbf)
-                quad_m = quad_mask.reshape(quad_mask.shape[0], quad_mask.shape[1], quad_mask.shape[2], -1)
+                # factorized contraction (see the basis-stage comment): contract
+                # k2 against the dihedral Legendre, then (kq, j) against the
+                # m1-folded (cab x radW) factor — no [K1,Kq,K2,F] tensor exists
+                y_dih = legendre_y_l0(cos_dih, self.num_spherical)  # [B,N,K1,Kq,K2,S]
+                xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
+                d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", y_dih, xm)
+                outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
-                                        name=f"{name}_qint_bilinear")(quad_b, quad_x, quad_m)
+                                        name=f"{name}_qint_bilinear")(outer=outer)
                 x_q = ScaleFactor(name=f"{name}_qint_scale_sbf")(x_q)
                 x_q_up = DenseLayer(self.emb_size_edge, name=f"{name}_qint_up")(x_q)
                 if self.symmetric_mp:
@@ -537,8 +570,10 @@ class GemNetOC(nn.Module):
                 )
                 x_h = DenseLayer(self.emb_size_trip_in, name=f"{name}_aeint_down")(x_h)
                 x_h_in = _gather_rows(x_h, nl.src)  # per out-edge: neighbors of source c
+                d_ae = jnp.einsum("bnuks,bnuke->bnuse", cbf_a2e, x_h_in)
+                outer_ae = jnp.einsum("bnusf,bnuse->bnufe", radw_aeint.astype(d_ae.dtype), d_ae)
                 x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
-                                         name=f"{name}_aeint_bilinear")(cir_a2e, x_h_in, trip_mask_a2e)
+                                         name=f"{name}_aeint_bilinear")(outer=outer_ae)
                 x_ae = ScaleFactor(name=f"{name}_aeint_scale_sum")(x_ae)
                 x_ae_up = DenseLayer(self.emb_size_edge, name=f"{name}_aeint_up")(x_ae)
                 if self.symmetric_mp:
