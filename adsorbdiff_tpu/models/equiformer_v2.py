@@ -49,6 +49,7 @@ from adsorbdiff_tpu.models.so3 import (
     l1_coeffs_to_vector,
     m_index_tables,
     s2_grid_matrices,
+    scatter_as_gather_perm,
     wigner_D_from_rot,
 )
 
@@ -105,9 +106,9 @@ class SO2Conv(nn.Module):
     def __call__(self, x: jnp.ndarray, rad: jnp.ndarray, extra_m0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         idx0, idx_pos, idx_neg, _ = m_index_tables(self.lmax, self.mmax)
         dim = (self.lmax + 1) ** 2
-        out = jnp.zeros(x.shape[:-2] + (dim, self.c_out), x.dtype)
 
         cdt = compute_dtype()
+        pieces = []  # per-m output blocks, assembled with ONE constant gather
         # m = 0: plain dense over flattened (n_l0, C) + invariant extras
         x0 = x[..., jnp.asarray(idx0), :]
         n0 = len(idx0)
@@ -117,7 +118,7 @@ class SO2Conv(nn.Module):
         if extra_m0 is not None:
             x0_flat = jnp.concatenate([x0_flat, extra_m0.astype(x0_flat.dtype)], axis=-1)
         y0 = nn.Dense(n0 * self.c_out, use_bias=True, dtype=cdt, name="fc_m0")(x0_flat)
-        out = out.at[..., jnp.asarray(idx0), :].set(y0.reshape(y0.shape[:-1] + (n0, self.c_out)))
+        pieces.append(y0.reshape(y0.shape[:-1] + (n0, self.c_out)))
 
         # m > 0: complex-structured pair weights
         for mi, (ip, iq) in enumerate(zip(idx_pos, idx_neg)):
@@ -130,9 +131,17 @@ class SO2Conv(nn.Module):
             wi = nn.Dense(nl * self.c_out, use_bias=False, dtype=cdt, name=f"fc_m{mi + 1}_i")
             yp = wr(xp) - wi(xn)
             yn = wi(xp) + wr(xn)
-            out = out.at[..., jnp.asarray(ip), :].set(yp.reshape(yp.shape[:-1] + (nl, self.c_out)))
-            out = out.at[..., jnp.asarray(iq), :].set(yn.reshape(yn.shape[:-1] + (nl, self.c_out)))
-        return out
+            pieces.append(yp.reshape(yp.shape[:-1] + (nl, self.c_out)))
+            pieces.append(yn.reshape(yn.shape[:-1] + (nl, self.c_out)))
+
+        # assemble the (l, m) layout: scatters at non-contiguous coefficient
+        # indices lower poorly on TPU — concat + constant inverse-permutation
+        # gather is equivalent and cheap (models/so3.py scatter_as_gather_perm)
+        concat = jnp.concatenate(pieces, axis=-2)
+        zero = jnp.zeros(concat.shape[:-2] + (1, self.c_out), concat.dtype)
+        full = jnp.concatenate([concat, zero], axis=-2)
+        perm = scatter_as_gather_perm(dim, [idx0] + [v for p in zip(idx_pos, idx_neg) for v in p])
+        return jnp.take(full, jnp.asarray(perm), axis=-2)
 
 
 class GridFFN(nn.Module):
@@ -336,8 +345,8 @@ class EquiformerV2(nn.Module):
         idx0, _, _, _ = m_index_tables(self.lmax, self.mmax)
         deg = nn.Dense(len(idx0) * self.sphere_channels, name="edge_degree_dense")(rad)
         deg = deg.reshape(deg.shape[:-1] + (len(idx0), self.sphere_channels))
-        deg_full = jnp.zeros(deg.shape[:3] + (dim, self.sphere_channels))
-        deg_full = deg_full.at[..., jnp.asarray(idx0), :].set(deg)
+        deg_z = jnp.concatenate([deg, jnp.zeros_like(deg[..., :1, :])], axis=-2)
+        deg_full = jnp.take(deg_z, jnp.asarray(scatter_as_gather_perm(dim, [idx0])), axis=-2)
         deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv, deg_full)
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree

@@ -194,6 +194,19 @@ def m_index_tables(lmax: int, mmax: int):
     return idx_m0, idx_pos, idx_neg, mask
 
 
+def scatter_as_gather_perm(dim: int, positions) -> np.ndarray:
+    """Inverse permutation that turns ``out.at[positions].set(values)`` into a
+    constant-index gather: with ``full = concat([values, zeros[1]])`` (values
+    stacked in ``positions`` order), ``take(full, perm, axis)`` equals the
+    scatter result.  XLA lowers constant gathers far better than the
+    non-contiguous scatters the (l, m) coefficient layout otherwise needs.
+    ``positions``: unique target indices in value order (list/array)."""
+    positions = np.concatenate([np.asarray(p).ravel() for p in positions])
+    inv = np.full(dim, len(positions), np.int32)  # default -> trailing zero slot
+    inv[positions] = np.arange(len(positions), dtype=np.int32)
+    return inv
+
+
 @functools.lru_cache(maxsize=8)
 def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int) -> Tuple[np.ndarray, np.ndarray]:
     """(to_grid [G, (L)^2], from_grid [(L)^2, G]) with from @ to == I.
