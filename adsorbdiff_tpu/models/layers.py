@@ -135,6 +135,23 @@ class RadialBasis(nn.Module):
             )
             safe = jnp.maximum(d_scaled, 1e-9)
             res = norm_const / safe[..., None] * jnp.sin(freqs * safe[..., None])
+        elif rbf_name == "bernstein":
+            # SpookyNet Bernstein basis with trainable softplus-gamma
+            # (ref: radial_basis.py:122-168)
+            from scipy.special import binom
+
+            n = self.num_radial
+            prefactor = jnp.asarray(binom(n - 1, np.arange(n)), jnp.float32)
+            exp1 = jnp.arange(n, dtype=jnp.float32)
+            exp2 = (n - 1) - exp1
+            pregamma = self.param(
+                "pregamma",
+                lambda key, shape: jnp.asarray(float(rbf.get("pregamma_initial", 0.45264))),
+                (),
+            )
+            gamma = jax.nn.softplus(pregamma)
+            exp_d = jnp.exp(-gamma * d_scaled)[..., None]
+            res = prefactor * exp_d**exp1 * (1 - exp_d) ** exp2
         else:
             raise ValueError(f"Unknown radial basis function '{rbf_name}'.")
         return env[..., None] * res

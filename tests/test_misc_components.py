@@ -163,3 +163,29 @@ def test_transforms_decompose_tensor(rng):
     out = t(o)
     assert out.iso.shape == (1,) and out.aniso.shape == (5,)
     np.testing.assert_allclose(out.iso[0], np.trace(stress) / np.sqrt(3), atol=1e-9)
+
+
+def test_radial_basis_variants(rng):
+    """All reference RBF x envelope combinations produce finite, normalized,
+    cutoff-respecting bases (ref: gemnet_oc/layers/radial_basis.py:18-245)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adsorbdiff_tpu.models.layers import RadialBasis
+
+    d = jnp.asarray(np.linspace(0.05, 7.0, 64).astype(np.float32))
+    for rbf in ({"name": "gaussian"}, {"name": "spherical_bessel"}, {"name": "bernstein"}):
+        for env in ({"name": "polynomial", "exponent": 5}, {"name": "exponential"}):
+            m = RadialBasis(num_radial=8, cutoff=6.0, rbf=rbf, envelope=env)
+            v = m.init(jax.random.PRNGKey(0), d)
+            out = np.asarray(m.apply(v, d))
+            assert out.shape == (64, 8), (rbf, env)
+            assert np.isfinite(out).all(), (rbf, env)
+            # beyond the cutoff the envelope kills everything
+            assert np.abs(out[d > 6.0]).max() == 0.0, (rbf, env)
+            assert np.abs(out[d < 6.0]).max() > 0.0, (rbf, env)
+    # bernstein has a single trainable scalar (pregamma)
+    m = RadialBasis(num_radial=8, cutoff=6.0, rbf={"name": "bernstein"}, envelope={"name": "polynomial"})
+    v = m.init(jax.random.PRNGKey(0), d)
+    leaves = jax.tree.leaves(v["params"])
+    assert len(leaves) == 1 and leaves[0].shape == ()
