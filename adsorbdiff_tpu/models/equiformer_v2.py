@@ -89,11 +89,69 @@ class EquivariantLayerNorm(nn.Module):
         return jnp.concatenate(out, axis=-2)
 
 
+class _GroupLin(nn.Module):
+    """Linear map over flattened (n, c) coefficient groups, applied WITHOUT
+    flattening the activation: the 2-D kernel (same shape nn.Dense would
+    store, so checkpoints are unchanged) is viewed 4-D and contracted with a
+    single multi-dim dot.  Flattening [E, n, C] activations to [E, n*C] and
+    back forces TPU relayout copies on every SO(2)-conv step — the dominant
+    cost of the EqV2 attention before this rewrite (docs/PERF.md)."""
+
+    n_in: int
+    c_in: int
+    n_out: int
+    c_out: int
+    extra: int = 0  # invariant features appended to the flattened input
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, extra_x: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cdt = compute_dtype()
+        nc_in = self.n_in * self.c_in
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (nc_in + self.extra, self.n_out * self.c_out)
+        )
+        kx = k[:nc_in].reshape(self.n_in, self.c_in, self.n_out, self.c_out)
+        if cdt is not None:
+            x, kx = x.astype(cdt), kx.astype(cdt)
+        y = jnp.einsum("...nc,ncmd->...md", x, kx)
+        if extra_x is not None:
+            ke = k[nc_in:].reshape(self.extra, self.n_out, self.c_out)
+            if cdt is not None:
+                extra_x, ke = extra_x.astype(cdt), ke.astype(cdt)
+            y = y + jnp.einsum("...x,xmd->...md", extra_x, ke)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.n_out * self.c_out,))
+            y = y + b.reshape(self.n_out, self.c_out).astype(y.dtype)
+        return y
+
+
+class _GateLin(nn.Module):
+    """rad [..., R] -> per-(coefficient, channel) gate [..., n, c], without the
+    [..., n*c] flatten (kernel/bias shapes match the nn.Dense it replaces)."""
+
+    n: int
+    c: int
+
+    @nn.compact
+    def __call__(self, rad: jnp.ndarray) -> jnp.ndarray:
+        cdt = compute_dtype()
+        k = self.param("kernel", nn.initializers.lecun_normal(), (rad.shape[-1], self.n * self.c))
+        b = self.param("bias", nn.initializers.zeros, (self.n * self.c,))
+        kr = k.reshape(rad.shape[-1], self.n, self.c)
+        if cdt is not None:
+            rad, kr = rad.astype(cdt), kr.astype(cdt)
+        return jnp.einsum("...r,rnc->...nc", rad, kr) + b.reshape(self.n, self.c).astype(
+            cdt or jnp.float32
+        )
+
+
 class SO2Conv(nn.Module):
     """SO(2) convolution in the edge frame with complex weight structure and
     radial gating (ref: so2_ops.py SO2_Convolution :78-238).
 
     input [..., (L)^2, C_in] (edge frame, m-truncated), rad [..., R_e].
+    All per-m maps run layout-preserving (see :class:`_GroupLin`).
     """
 
     lmax: int
@@ -107,32 +165,26 @@ class SO2Conv(nn.Module):
         idx0, idx_pos, idx_neg, _ = m_index_tables(self.lmax, self.mmax)
         dim = (self.lmax + 1) ** 2
 
-        cdt = compute_dtype()
         pieces = []  # per-m output blocks, assembled with ONE constant gather
-        # m = 0: plain dense over flattened (n_l0, C) + invariant extras
+        # m = 0: group-linear over (n_l0, C) + invariant extras
         x0 = x[..., jnp.asarray(idx0), :]
         n0 = len(idx0)
-        x0_flat = x0.reshape(x0.shape[:-2] + (n0 * self.c_in,))
-        gate0 = nn.Dense(n0 * self.c_in, dtype=cdt, name="rad_m0")(rad)
-        x0_flat = x0_flat * gate0
-        if extra_m0 is not None:
-            x0_flat = jnp.concatenate([x0_flat, extra_m0.astype(x0_flat.dtype)], axis=-1)
-        y0 = nn.Dense(n0 * self.c_out, use_bias=True, dtype=cdt, name="fc_m0")(x0_flat)
-        pieces.append(y0.reshape(y0.shape[:-1] + (n0, self.c_out)))
+        x0 = x0 * _GateLin(n0, self.c_in, name="rad_m0")(rad)
+        extra = 0 if extra_m0 is None else extra_m0.shape[-1]
+        y0 = _GroupLin(n0, self.c_in, n0, self.c_out, extra=extra, name="fc_m0")(x0, extra_m0)
+        pieces.append(y0)
 
         # m > 0: complex-structured pair weights
         for mi, (ip, iq) in enumerate(zip(idx_pos, idx_neg)):
             nl = len(ip)
-            xp = x[..., jnp.asarray(ip), :].reshape(x.shape[:-2] + (nl * self.c_in,))
-            xn = x[..., jnp.asarray(iq), :].reshape(x.shape[:-2] + (nl * self.c_in,))
-            gate = nn.Dense(nl * self.c_in, dtype=cdt, name=f"rad_m{mi + 1}")(rad)
+            xp = x[..., jnp.asarray(ip), :]
+            xn = x[..., jnp.asarray(iq), :]
+            gate = _GateLin(nl, self.c_in, name=f"rad_m{mi + 1}")(rad)
             xp, xn = xp * gate, xn * gate
-            wr = nn.Dense(nl * self.c_out, use_bias=False, dtype=cdt, name=f"fc_m{mi + 1}_r")
-            wi = nn.Dense(nl * self.c_out, use_bias=False, dtype=cdt, name=f"fc_m{mi + 1}_i")
-            yp = wr(xp) - wi(xn)
-            yn = wi(xp) + wr(xn)
-            pieces.append(yp.reshape(yp.shape[:-1] + (nl, self.c_out)))
-            pieces.append(yn.reshape(yn.shape[:-1] + (nl, self.c_out)))
+            wr = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r")
+            wi = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i")
+            pieces.append(wr(xp) - wi(xn))
+            pieces.append(wi(xp) + wr(xn))
 
         # assemble the (l, m) layout: scatters at non-contiguous coefficient
         # indices lower poorly on TPU — concat + constant inverse-permutation
@@ -168,9 +220,12 @@ class GridFFN(nn.Module):
 
 
 def _gather_nodes(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """Row gather along the node axis without flattening trailing dims (a
+    minor-dim merge would force a TPU relayout copy of the whole tensor)."""
     b, n, k = src.shape
-    flat = jnp.take_along_axis(a.reshape(b, n, -1), src.reshape(b, n * k)[..., None], axis=1)
-    return flat.reshape((b, n, k) + a.shape[2:])
+    idx = src.reshape((b, n * k) + (1,) * (a.ndim - 2))
+    out = jnp.take_along_axis(a, idx, axis=1)
+    return out.reshape((b, n, k) + a.shape[2:])
 
 
 class SO2Attention(nn.Module):
@@ -230,12 +285,13 @@ class SO2Attention(nn.Module):
         h = h * jnp.concatenate(gates, axis=-2)
         v = SO2Conv(self.lmax, self.mmax, self.attn_hidden, self.num_heads * self.attn_value,
                     name="so2_conv_2")(h, rad)
-        v = v.reshape(v.shape[:-1] + (self.num_heads, self.attn_value))
         # rotate each edge's value back to the global frame, then do the
-        # attention-weighted sum over the K neighbors
-        v_rot = jnp.einsum("bnkij,bnkjhv->bnkihv", d_mats_inv, v)
-        out = jnp.einsum("bnkh,bnkchv->bnchv", attn, v_rot)
-        out = out.reshape(out.shape[:-2] + (self.num_heads * self.attn_value,))
+        # attention-weighted sum over the K neighbors.  The per-head weights
+        # are expanded along the channel axis (value channels contiguous per
+        # head) so no [.., H, V] split of the minor dim is needed.
+        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_mats_inv, v)
+        attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
+        out = jnp.einsum("bnkd,bnkcd->bncd", attn_c, v_rot)
         return nn.Dense(self.c_out, use_bias=False, name="proj")(out)
 
 
