@@ -309,6 +309,10 @@ class GemNetOC(nn.Module):
 
     def _forward(self, batch: AtomsBatch):
         eps = 1e-9
+        # geometry bases feeding the factorized bilinears are O(1)-ranged;
+        # casting them keeps the big contractions in the compute dtype instead
+        # of silently promoting back to f32
+        cdt_cast = (lambda x: x.astype(compute_dtype())) if compute_dtype() else (lambda x: x)
         # ---------------- graphs (ref: get_graphs_and_indices :989-1123) ----
         nl, dist, unit = generate_graph(
             batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
@@ -354,9 +358,9 @@ class GemNetOC(nn.Module):
         # cir[u,k,f] = sum_s cbf[u,k,s] * radW[u,s,f], so the bilinear's
         # k-contraction runs against the S-component cbf instead of a
         # materialized [B,N,K1,K2,F] cir tensor)
-        cbf_e2e = jnp.where(
+        cbf_e2e = cdt_cast(jnp.where(
             trip_mask_e2e[..., None], legendre_y_l0(cos_e2e, self.num_spherical), 0.0
-        )  # [B,N,K1,K2,S], mask folded
+        ))  # [B,N,K1,K2,S], mask folded
         radw_tint = BasisEmbedding(
             self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint"
         )(rad_main, radw_only=True)  # [B,N,K1,S,F]
@@ -418,16 +422,16 @@ class GemNetOC(nn.Module):
             quad_m2 = q_in_mask & ~d_is_a  # [B,N,Kq,K2]
             # fold m1 into the (cab x radW) factor, computed once for all blocks
             ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
-            quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", ya_m1, radw)  # [B,N,K1,Kq,S,F]
+            quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
 
         # a2e triplets: out edge (a,k1,src c); a2ee2a neighbors of c: (c,k2,src d) -> message from h[d]
         ae_in_unit = _gather_rows(unit_ae, nl.src)  # [B,N,K1,K2ae,3]
         ae_in_mask = _gather_rows(nl_ae.mask, nl.src)
         cos_a2e = _cos_clamped(-unit[:, :, :, None, :], ae_in_unit)
         trip_mask_a2e = emask[..., None] & ae_in_mask
-        cbf_a2e = jnp.where(
+        cbf_a2e = cdt_cast(jnp.where(
             trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
-        )  # [B,N,K1,K2ae,S], mask folded (factorized, see e2e)
+        ))  # [B,N,K1,K2ae,S], mask folded (factorized, see e2e)
         radw_aeint = BasisEmbedding(
             self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint"
         )(rad_main, radw_only=True)  # [B,N,K1,S,F]
@@ -548,7 +552,7 @@ class GemNetOC(nn.Module):
                 # factorized contraction (see the basis-stage comment): contract
                 # k2 against the dihedral Legendre, then (kq, j) against the
                 # m1-folded (cab x radW) factor — no [K1,Kq,K2,F] tensor exists
-                y_dih = legendre_y_l0(cos_dih, self.num_spherical)  # [B,N,K1,Kq,K2,S]
+                y_dih = cdt_cast(legendre_y_l0(cos_dih, self.num_spherical))  # [B,N,K1,Kq,K2,S]
                 xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
                 d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", y_dih, xm)
                 outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
