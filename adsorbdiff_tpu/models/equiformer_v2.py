@@ -45,11 +45,12 @@ from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
 from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope, gaussian_basis
 from adsorbdiff_tpu.models.so3 import (
+    coeff_select_matrix,
     edge_frame_rotation,
     l1_coeffs_to_vector,
+    l_expand_matrix,
     m_index_tables,
     s2_grid_matrices,
-    scatter_as_gather_perm,
     wigner_D_from_rot,
 )
 
@@ -165,35 +166,31 @@ class SO2Conv(nn.Module):
         idx0, idx_pos, idx_neg, _ = m_index_tables(self.lmax, self.mmax)
         dim = (self.lmax + 1) ** 2
 
-        pieces = []  # per-m output blocks, assembled with ONE constant gather
+        def sel(idx):  # gather coefficient rows as a constant one-hot matmul
+            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), x.dtype)
+            return jnp.einsum("ni,...ic->...nc", s, x)
+
+        def put(idx, y):  # scatter back: S^T @ y
+            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), y.dtype)
+            return jnp.einsum("ni,...nc->...ic", s, y)
+
         # m = 0: group-linear over (n_l0, C) + invariant extras
-        x0 = x[..., jnp.asarray(idx0), :]
         n0 = len(idx0)
-        x0 = x0 * _GateLin(n0, self.c_in, name="rad_m0")(rad)
+        x0 = sel(idx0) * _GateLin(n0, self.c_in, name="rad_m0")(rad)
         extra = 0 if extra_m0 is None else extra_m0.shape[-1]
-        y0 = _GroupLin(n0, self.c_in, n0, self.c_out, extra=extra, name="fc_m0")(x0, extra_m0)
-        pieces.append(y0)
+        out = put(idx0, _GroupLin(n0, self.c_in, n0, self.c_out, extra=extra, name="fc_m0")(x0, extra_m0))
 
         # m > 0: complex-structured pair weights
         for mi, (ip, iq) in enumerate(zip(idx_pos, idx_neg)):
             nl = len(ip)
-            xp = x[..., jnp.asarray(ip), :]
-            xn = x[..., jnp.asarray(iq), :]
             gate = _GateLin(nl, self.c_in, name=f"rad_m{mi + 1}")(rad)
-            xp, xn = xp * gate, xn * gate
+            xp = sel(ip) * gate
+            xn = sel(iq) * gate
             wr = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r")
             wi = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i")
-            pieces.append(wr(xp) - wi(xn))
-            pieces.append(wi(xp) + wr(xn))
-
-        # assemble the (l, m) layout: scatters at non-contiguous coefficient
-        # indices lower poorly on TPU — concat + constant inverse-permutation
-        # gather is equivalent and cheap (models/so3.py scatter_as_gather_perm)
-        concat = jnp.concatenate(pieces, axis=-2)
-        zero = jnp.zeros(concat.shape[:-2] + (1, self.c_out), concat.dtype)
-        full = jnp.concatenate([concat, zero], axis=-2)
-        perm = scatter_as_gather_perm(dim, [idx0] + [v for p in zip(idx_pos, idx_neg) for v in p])
-        return jnp.take(full, jnp.asarray(perm), axis=-2)
+            out = out + put(ip, wr(xp) - wi(xn))
+            out = out + put(iq, wi(xp) + wr(xn))
+        return out
 
 
 class GridFFN(nn.Module):
@@ -228,6 +225,16 @@ def _gather_nodes(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     return out.reshape((b, n, k) + a.shape[2:])
 
 
+def _gather_nodes_mm(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """One-hot MXU gather of float node features (the explicit gather HLO
+    lowers to a while-loop on TPU — profiled at multiple ms per call on the
+    [B,N,(L)^2,C] tensors; the batched one-hot matmul costs ~0.2 ms)."""
+    b, n, k = src.shape
+    onehot = (src.reshape(b, n * k, 1) == jnp.arange(n)[None, None, :]).astype(a.dtype)
+    out = jnp.einsum("bem,bm...->be...", onehot, a)
+    return out.reshape((b, n, k) + a.shape[2:])
+
+
 class SO2Attention(nn.Module):
     """SO2EquivariantGraphAttention (ref: transformer_block.py:22-372).
 
@@ -250,7 +257,7 @@ class SO2Attention(nn.Module):
         _, _, _, mmask = m_index_tables(self.lmax, self.mmax)
         mmask = jnp.asarray(mmask)
 
-        x_src = _gather_nodes(x, nl.src)  # [B,N,K,(L)^2,C]
+        x_src = _gather_nodes_mm(x, nl.src)  # [B,N,K,(L)^2,C]
         x_tgt = jnp.broadcast_to(x[:, :, None], x_src.shape)
         msg = x_src + x_tgt
         # rotate into edge frame + m-truncate
@@ -276,13 +283,13 @@ class SO2Attention(nn.Module):
             dm = jax.random.bernoulli(self.make_rng("dropout"), keep, attn.shape)
             attn = attn * dm.astype(attn.dtype) / keep
 
-        # value path: gate-style activation then second SO(2) conv
+        # value path: gate-style activation then second SO(2) conv; the per-l
+        # gate expands to the coefficient axis with one constant matmul
+        # (repeat+concatenate chains lower to dynamic-update-slices on TPU)
         gate = jax.nn.silu(nn.Dense((self.lmax + 1) * self.attn_hidden, name="gate_dense")(inv))
-        gates = []
-        for l in range(self.lmax + 1):
-            g = gate[..., l * self.attn_hidden : (l + 1) * self.attn_hidden]
-            gates.append(jnp.repeat(g[..., None, :], 2 * l + 1, axis=-2))
-        h = h * jnp.concatenate(gates, axis=-2)
+        gate = gate.reshape(gate.shape[:-1] + (self.lmax + 1, self.attn_hidden))
+        expand = jnp.asarray(l_expand_matrix(self.lmax), gate.dtype)
+        h = h * jnp.einsum("cl,...lh->...ch", expand, gate)
         v = SO2Conv(self.lmax, self.mmax, self.attn_hidden, self.num_heads * self.attn_value,
                     name="so2_conv_2")(h, rad)
         # rotate each edge's value back to the global frame, then do the
@@ -291,7 +298,9 @@ class SO2Attention(nn.Module):
         # head) so no [.., H, V] split of the minor dim is needed.
         v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_mats_inv, v)
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
-        out = jnp.einsum("bnkd,bnkcd->bncd", attn_c, v_rot)
+        # broadcast-multiply + reduce over K: an einsum here would make the
+        # minor channel dim a dot batch dim and relayout the whole tensor
+        out = jnp.sum(v_rot * attn_c[..., None, :], axis=2)
         return nn.Dense(self.c_out, use_bias=False, name="proj")(out)
 
 
@@ -401,8 +410,8 @@ class EquiformerV2(nn.Module):
         idx0, _, _, _ = m_index_tables(self.lmax, self.mmax)
         deg = nn.Dense(len(idx0) * self.sphere_channels, name="edge_degree_dense")(rad)
         deg = deg.reshape(deg.shape[:-1] + (len(idx0), self.sphere_channels))
-        deg_z = jnp.concatenate([deg, jnp.zeros_like(deg[..., :1, :])], axis=-2)
-        deg_full = jnp.take(deg_z, jnp.asarray(scatter_as_gather_perm(dim, [idx0])), axis=-2)
+        s0 = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx0)), deg.dtype)
+        deg_full = jnp.einsum("ni,...nc->...ic", s0, deg)
         deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv, deg_full)
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree

@@ -194,6 +194,30 @@ def m_index_tables(lmax: int, mmax: int):
     return idx_m0, idx_pos, idx_neg, mask
 
 
+@functools.lru_cache(maxsize=64)
+def coeff_select_matrix(dim: int, idx: tuple) -> np.ndarray:
+    """One-hot [len(idx), dim] selection matrix: ``S @ x`` gathers coefficient
+    rows, ``S.T @ y`` scatters them back.  On TPU, XLA lowers explicit
+    gather/concatenate ops on the coefficient axis to while-loops /
+    dynamic-update-slice chains (profiled: they dominated the EqV2 attention);
+    tiny constant matmuls run on the MXU instead."""
+    s = np.zeros((len(idx), dim), np.float32)
+    s[np.arange(len(idx)), np.asarray(idx)] = 1.0
+    return s
+
+
+@functools.lru_cache(maxsize=8)
+def l_expand_matrix(lmax: int) -> np.ndarray:
+    """[ (lmax+1)^2, lmax+1 ] one-hot: row (l,m) selects column l — expands a
+    per-l vector to the full coefficient axis with one matmul (replaces the
+    repeat/concatenate chain)."""
+    dim = (lmax + 1) ** 2
+    e = np.zeros((dim, lmax + 1), np.float32)
+    for l in range(lmax + 1):
+        e[l * l : (l + 1) * (l + 1), l] = 1.0
+    return e
+
+
 def scatter_as_gather_perm(dim: int, positions) -> np.ndarray:
     """Inverse permutation that turns ``out.at[positions].set(values)`` into a
     constant-index gather: with ``full = concat([values, zeros[1]])`` (values
