@@ -168,7 +168,7 @@ class EfficientBilinear(nn.Module):
     emb_size_out: int
 
     @nn.compact
-    def __call__(self, basis=None, x=None, mask=None, *, outer=None):
+    def __call__(self, basis=None, x=None, mask=None, *, outer=None, contract_axes: int = 1):
         w = self.param(
             "weight",
             nn.initializers.orthogonal(),
@@ -179,7 +179,12 @@ class EfficientBilinear(nn.Module):
             if cdt is not None:
                 basis, x = basis.astype(cdt), x.astype(cdt)
             basis = jnp.where(mask[..., None], basis, 0.0)
-            outer = jnp.einsum("...kf,...ke->...fe", basis, x)
+            if contract_axes == 2:
+                # contract two neighbor axes directly — flattening them first
+                # costs a relayout copy of the whole tensor on TPU
+                outer = jnp.einsum("...abf,...abe->...fe", basis, x)
+            else:
+                outer = jnp.einsum("...kf,...ke->...fe", basis, x)
         if cdt is not None:
             outer, w = outer.astype(cdt), w.astype(cdt)
         flat = outer.reshape(outer.shape[:-2] + (self.emb_size_basis * self.emb_size_in,))
@@ -598,9 +603,7 @@ class GemNetOC(nn.Module):
                 x_m_in = _gather_rows(x_m, nl_ae.src)  # [B,N,Kae,K1,ei]: edges of b
                 h_e2a_kb = EfficientBilinear(self.emb_size_aint_in, self.emb_size_cbf, self.emb_size_aint_out,
                                              name=f"{name}_eaint_bilinear")(
-                    cir_e2a.reshape(cir_e2a.shape[:2] + (-1, self.emb_size_cbf)),
-                    x_m_in.reshape(x_m_in.shape[:2] + (-1, self.emb_size_aint_in)),
-                    trip_mask_e2a.reshape(trip_mask_e2a.shape[:2] + (-1,)),
+                    cir_e2a, x_m_in, trip_mask_e2a, contract_axes=2,
                 )
                 h_e2a = ScaleFactor(name=f"{name}_eaint_scale_sum")(h_e2a_kb)
                 h_new = h_new + DenseLayer(self.emb_size_atom, name=f"{name}_eaint_up")(h_e2a)
