@@ -141,6 +141,85 @@ def iter_lmdb_systems(src: str) -> Iterator[System]:
             yield _data_to_system(loads_pyg(raw))
 
 
+import contextlib
+import sys
+import types
+
+
+@contextlib.contextmanager
+def _fake_pyg_modules():
+    """Temporarily register a minimal ``torch_geometric.data.data.Data`` so
+    pickles we WRITE reference the real PyG import path — the reference stack
+    (which has PyG installed) can then unpickle our exports directly.  No-op
+    when torch_geometric is actually installed."""
+    try:
+        import torch_geometric  # noqa: F401
+
+        yield __import__("torch_geometric.data.data", fromlist=["Data"]).Data
+        return
+    except ImportError:
+        pass
+
+    class Data:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    Data.__module__ = "torch_geometric.data.data"
+    Data.__qualname__ = "Data"
+    pkg = types.ModuleType("torch_geometric")
+    dpkg = types.ModuleType("torch_geometric.data")
+    dmod = types.ModuleType("torch_geometric.data.data")
+    dmod.Data = Data
+    dpkg.data = dmod
+    dpkg.Data = Data
+    pkg.data = dpkg
+    mods = {"torch_geometric": pkg, "torch_geometric.data": dpkg, "torch_geometric.data.data": dmod}
+    sys.modules.update(mods)
+    try:
+        yield Data
+    finally:
+        for name in mods:
+            sys.modules.pop(name, None)
+
+
+def export_systems_to_lmdb(systems, path: str) -> int:
+    """Write systems as a reference-format LMDB (keys b"0".."<n-1>" of pickled
+    torch_geometric ``Data`` records + pickled b"length"; ref schema:
+    lmdb_dataset.py:96-116, writers: scripts/create_lmdbs/*).  Uses the
+    dependency-free writer in :mod:`adsorbdiff_tpu.data.lmdbio`; tensors are
+    torch (unpickling on the reference side needs no numpy interop)."""
+    import torch
+
+    from adsorbdiff_tpu.data.lmdbio import write_lmdb
+
+    items = []
+    count = 0
+    with _fake_pyg_modules() as Data:
+        for i, s in enumerate(systems):
+            rec = dict(
+                pos=torch.from_numpy(np.asarray(s.pos, np.float32)),
+                atomic_numbers=torch.from_numpy(np.asarray(s.atomic_numbers, np.float32)),
+                cell=torch.from_numpy(np.asarray(s.cell, np.float32))[None],
+                tags=torch.from_numpy(np.asarray(s.tags, np.int64)),
+                fixed=torch.from_numpy(np.asarray(s.fixed, np.float32)),
+                sid=int(s.sid),
+                fid=int(s.fid),
+                natoms=int(len(s.pos)),
+                y_relaxed=float(s.y_relaxed),
+            )
+            if s.pos_relaxed is not None:
+                rec["pos_relaxed"] = torch.from_numpy(np.asarray(s.pos_relaxed, np.float32))
+            if s.forces is not None:
+                rec["force"] = torch.from_numpy(np.asarray(s.forces, np.float32))
+            if s.energy:
+                rec["y"] = float(s.energy)
+            items.append((str(i).encode("ascii"), pickle.dumps(Data(**rec), protocol=2)))
+            count += 1
+        items.append((b"length", pickle.dumps(count, protocol=2)))
+        write_lmdb(path, items)
+    return count
+
+
 def convert_lmdb_to_shards(src: str, out_path: str, shard_size: int = 5000) -> int:
     """LMDB -> .adshard.npz conversion (works in-image via lmdbio)."""
     from adsorbdiff_tpu.data.store import write_shard

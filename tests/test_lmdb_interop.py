@@ -148,3 +148,35 @@ def test_convert_and_train_one_step(tmp_path):
     assert trainer.step >= 1
     assert all(np.isfinite(np.asarray(x)).all() for x in
                __import__("jax").tree.leaves(trainer.state.params))
+
+
+def test_export_roundtrip(tmp_path):
+    """Reference-format LMDB EXPORT (scripts/create_lmdbs parity): systems ->
+    pickled-PyG LMDB -> back through our reader with field equality."""
+    from adsorbdiff_tpu.data.lmdb_compat import export_systems_to_lmdb
+    from tests.test_data import rand_system
+
+    rng = np.random.default_rng(5)
+    systems = [rand_system(rng, 14, sid=100), rand_system(rng, 9, sid=101)]
+    systems[1].forces = None  # optional-field path
+    path = str(tmp_path / "export.lmdb")
+    n = export_systems_to_lmdb(systems, path)
+    assert n == 2
+
+    back = list(iter_lmdb_systems(path))
+    assert len(back) == 2
+    for orig, got in zip(systems, back):
+        np.testing.assert_allclose(got.pos, orig.pos, atol=0)
+        np.testing.assert_array_equal(got.atomic_numbers, orig.atomic_numbers)
+        np.testing.assert_array_equal(got.tags, orig.tags)
+        np.testing.assert_array_equal(got.fixed, orig.fixed)
+        np.testing.assert_allclose(got.cell, orig.cell, atol=0)
+        assert got.sid == orig.sid
+    assert back[0].forces is not None and back[1].forces is None
+    # the pickle stream must reference the REAL torch_geometric import path
+    # (so the reference stack, which has PyG, can load it)
+    from adsorbdiff_tpu.data.lmdbio import LmdbReader
+
+    with LmdbReader(path) as r:
+        raw = r.get(b"0")
+    assert b"torch_geometric" in raw
