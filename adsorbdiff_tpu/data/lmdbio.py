@@ -195,10 +195,10 @@ class LmdbWriter:
     """Write a fresh single-file LMDB environment in one shot.
 
     Produces the exact on-disk shape a single liblmdb write transaction on a
-    new environment would: pages 0/1 meta, data pages from 2 up, main-DB
-    B+tree of depth 1 or 2 (one branch level handles ~2M graph entries —
-    far beyond any OC20 shard), BIGDATA overflow chains for values that
-    don't fit a half-page node.
+    new environment would: pages 0/1 meta, data pages from 2 up, a main-DB
+    B+tree with as many branch levels as the entry count needs (OC20 shards
+    run to ~10^6 records), BIGDATA overflow chains for values that don't fit
+    a half-page node.
     """
 
     def __init__(self, path: str, psize: int = 4096) -> None:
@@ -299,23 +299,37 @@ class LmdbWriter:
         for pgno, nodes in leaves:
             data_pages.append((pgno, self._emit_page(pgno, P_LEAF, [n for _, n in nodes])))
 
-        # 3) branch level if more than one leaf (first branch key is empty)
+        # 3) branch levels until a single root (first key of the leftmost
+        # node at every level is empty, as liblmdb writes them)
         n_branch = 0
-        if len(leaves) == 1:
-            root, depth = leaves[0][0], 1
-        else:
-            bnodes = []
-            for i, (pgno, nodes) in enumerate(leaves):
-                first_key = b"" if i == 0 else nodes[0][0]
-                bnodes.append(self._pack_branch_node(first_key, pgno))
-            assert PAGE_HDR + 2 * len(bnodes) + sum(len(b) for b in bnodes) <= self.psize, (
-                "more than one branch page needed — raise psize or shard the dataset"
-            )
-            root = next_pg
+        depth = 1
+        level = [(pgno, nodes[0][0] if nodes else b"") for pgno, nodes in leaves]
+        while len(level) > 1:
+            next_level = []
+            cur_nodes: List[bytes] = []
+            cur_size = 0
+            cur_first_key = None
+            level_pages: List[Tuple[int, List[bytes], bytes]] = []
+            for i, (child_pg, child_key) in enumerate(level):
+                node = self._pack_branch_node(b"" if not cur_nodes else child_key, child_pg)
+                if cur_nodes and PAGE_HDR + 2 * (len(cur_nodes) + 1) + cur_size + len(node) > self.psize:
+                    level_pages.append((next_pg, cur_nodes, cur_first_key))
+                    next_pg += 1
+                    cur_nodes, cur_size = [], 0
+                    node = self._pack_branch_node(b"", child_pg)  # leftmost of new page
+                    cur_first_key = child_key
+                if cur_first_key is None:
+                    cur_first_key = child_key
+                cur_nodes.append(node)
+                cur_size += len(node)
+            level_pages.append((next_pg, cur_nodes, cur_first_key))
             next_pg += 1
-            n_branch = 1
-            data_pages.append((root, self._emit_page(root, P_BRANCH, bnodes)))
-            depth = 2
+            for pgno, nodes, _ in level_pages:
+                data_pages.append((pgno, self._emit_page(pgno, P_BRANCH, nodes)))
+                n_branch += 1
+            level = [(pgno, first_key) for pgno, _, first_key in level_pages]
+            depth += 1
+        root = level[0][0] if items else INVALID_PGNO
 
         main = {
             "flags": 0,

@@ -180,3 +180,23 @@ def test_export_roundtrip(tmp_path):
     with LmdbReader(path) as r:
         raw = r.get(b"0")
     assert b"torch_geometric" in raw
+
+
+def test_lmdbio_multilevel_branches(tmp_path):
+    """Thousands of entries at a small page size force a multi-level B+tree
+    (OC20 shards run to ~10^6 records); order, point lookups, and the meta
+    page-count bookkeeping must hold."""
+    items = [(f"{i:06d}".encode(), (f"v{i}" * (i % 7 + 1)).encode()) for i in range(5000)]
+    path = str(tmp_path / "deep.lmdb")
+    write_lmdb(path, items, psize=512)
+    with LmdbReader(path) as r:
+        assert r.psize == 512
+        assert r.entries == 5000
+        assert r.meta["main"]["depth"] >= 3  # multi-level
+        got = list(r.items())
+        assert [k for k, _ in got] == [k for k, _ in items]
+        assert got == items
+        for i in (0, 1, 499, 2500, 4999):
+            k, v = items[i]
+            assert r.get(k) == v
+        assert r.get(b"999999") is None
