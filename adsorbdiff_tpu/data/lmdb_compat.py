@@ -94,7 +94,7 @@ def _data_to_system(data) -> System:
         cell=get("cell").reshape(3, 3),
         sid=int(np.asarray(getattr(data, "sid", 0)).reshape(-1)[0]),
         fid=int(np.asarray(getattr(data, "fid", 0)).reshape(-1)[0]),
-        energy=scalar("y"),
+        energy=None if getattr(data, "y", None) is None else scalar("y"),
         y_relaxed=scalar("y_relaxed"),
         pos_relaxed=get("pos_relaxed"),
         forces=get("force"),
@@ -123,22 +123,52 @@ def _iter_lmdb_raw(path: str) -> Iterator[Tuple[bytes, bytes]]:
 def iter_lmdb_systems(src: str) -> Iterator[System]:
     """Iterate systems from a single .lmdb file or a directory of them
     (key schema per ref lmdb_dataset.py:96-116: b"0".."<n-1>" records plus an
-    optional pickled b"length")."""
+    optional pickled b"length").
+
+    Streams one value at a time: only the (small) key list is buffered and
+    sorted numerically; each record's bytes are point-looked-up as it is
+    yielded — real OC20 shards run to ~10^6 records / multiple GB, so
+    buffering every value would need file-sized RAM.
+    """
     paths = (
         sorted(os.path.join(src, f) for f in os.listdir(src) if f.endswith(".lmdb"))
         if os.path.isdir(src)
         else [src]
     )
     for path in paths:
-        records: List[Tuple[int, bytes]] = []
-        for key, value in _iter_lmdb_raw(path):
-            try:
-                idx = int(key.decode("ascii"))
-            except (UnicodeDecodeError, ValueError):
-                continue  # metadata keys: length, metadata, ...
-            records.append((idx, value))
-        for _, raw in sorted(records):
-            yield _data_to_system(loads_pyg(raw))
+        try:
+            import lmdb
+        except ImportError:
+            from adsorbdiff_tpu.data.lmdbio import LmdbReader
+
+            with LmdbReader(path) as reader:
+                for key in _sorted_record_keys(reader.keys()):
+                    yield _data_to_system(loads_pyg(reader.get(key)))
+            continue
+        env = lmdb.open(
+            path, subdir=False, readonly=True, lock=False, readahead=False, meminit=False
+        )
+        try:
+            with env.begin() as txn:
+                cur = txn.cursor()
+                keys = _sorted_record_keys(
+                    bytes(k) for k in cur.iternext(keys=True, values=False)
+                )
+                for key in keys:
+                    yield _data_to_system(loads_pyg(bytes(txn.get(key))))
+        finally:
+            env.close()
+
+
+def _sorted_record_keys(keys) -> List[bytes]:
+    """Record keys (ascii ints) in numeric order; metadata keys dropped."""
+    out: List[Tuple[int, bytes]] = []
+    for key in keys:
+        try:
+            out.append((int(key.decode("ascii")), key))
+        except (UnicodeDecodeError, ValueError):
+            continue  # metadata keys: length, metadata, ...
+    return [k for _, k in sorted(out)]
 
 
 import contextlib
@@ -211,7 +241,7 @@ def export_systems_to_lmdb(systems, path: str) -> int:
                 rec["pos_relaxed"] = torch.from_numpy(np.asarray(s.pos_relaxed, np.float32))
             if s.forces is not None:
                 rec["force"] = torch.from_numpy(np.asarray(s.forces, np.float32))
-            if s.energy:
+            if s.energy is not None:  # a legitimate y of exactly 0.0 must export
                 rec["y"] = float(s.energy)
             items.append((str(i).encode("ascii"), pickle.dumps(Data(**rec), protocol=2)))
             count += 1

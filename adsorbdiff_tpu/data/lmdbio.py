@@ -74,8 +74,25 @@ class LmdbReader:
         self.root = self.meta["main"]["root"]
 
     def _detect_page_size(self) -> int:
-        # the page size is not stored in the file; probe common sizes by
-        # checking that page 1 at that stride is also a META page
+        # liblmdb stores the page size in the free-DB md_pad field of the meta
+        # page (mdb.c: mm_psize = mm_dbs[FREE_DBI].md_pad); prefer it, and only
+        # fall back to stride-probing for files written before that field was
+        # populated (round-2 exports wrote 0 there).
+        if len(self._mm) >= PAGE_HDR + _META.size + 4:
+            _, _, flags, _, _ = _PAGE.unpack_from(self._mm, 0)
+            magic, version, _, _ = _META.unpack_from(self._mm, PAGE_HDR)
+            (md_pad,) = struct.unpack_from("<I", self._mm, PAGE_HDR + _META.size)
+            if (
+                flags & P_META
+                and magic == MAGIC
+                and version == VERSION
+                and 512 <= md_pad <= 65536
+                and md_pad & (md_pad - 1) == 0
+                and len(self._mm) >= 2 * md_pad
+            ):
+                return md_pad
+        # probe common sizes by checking that page 1 at that stride is also a
+        # META page
         for ps in (4096, 8192, 16384, 32768, 65536, 512, 1024, 2048):
             if len(self._mm) < 2 * ps:
                 continue
@@ -149,6 +166,30 @@ class LmdbReader:
                     kstart = base + off + _NODE.size
                     key = bytes(self._mm[kstart : kstart + ksize])
                     yield key, self._leaf_value(base, off)
+            else:
+                raise LmdbFormatError(f"unexpected page flags {flags:#x} at pgno {pgno}")
+
+    def keys(self) -> Iterator[bytes]:
+        """All keys in key order, without touching value bytes — lets callers
+        stream multi-GB shards (sort the small key list, then `get` each value
+        as it is consumed) instead of buffering every record."""
+        if self.root == INVALID_PGNO:
+            return
+        stack = [self.root]
+        while stack:
+            pgno = stack.pop()
+            base, flags, ptrs = self._page(pgno)
+            if flags & P_BRANCH:
+                children = []
+                for off in ptrs:
+                    _, child, _, _ = self._node(base, off)
+                    children.append(child & 0xFFFFFFFFFFFF)
+                stack.extend(reversed(children))
+            elif flags & P_LEAF:
+                for off in ptrs:
+                    _, _, _, ksize = _NODE.unpack_from(self._mm, base + off)
+                    kstart = base + off + _NODE.size
+                    yield bytes(self._mm[kstart : kstart + ksize])
             else:
                 raise LmdbFormatError(f"unexpected page flags {flags:#x} at pgno {pgno}")
 
@@ -245,7 +286,12 @@ class LmdbWriter:
         _PAGE.pack_into(page, 0, pgno, 0, P_META, 0, 0)
         _META.pack_into(page, PAGE_HDR, MAGIC, VERSION, 0, self.psize * (last_pg + 64))
         off = PAGE_HDR + _META.size
-        _DB.pack_into(page, off, 0, 0, 0, 0, 0, 0, 0, INVALID_PGNO)  # free DB, empty
+        # liblmdb stores the environment page size in the free-DB md_pad slot
+        # (mdb.c: `#define mm_psize mm_dbs[FREE_DBI].md_pad`) and reads
+        # me_psize from it on open — a zero here makes real liblmdb reject the
+        # file, so the exported datasets would be unreadable by the reference
+        # PyG stack.
+        _DB.pack_into(page, off, self.psize, 0, 0, 0, 0, 0, 0, INVALID_PGNO)  # free DB, empty
         off += _DB.size
         _DB.pack_into(
             page, off, 0, main["flags"], main["depth"], main["branch"], main["leaf"],

@@ -29,7 +29,7 @@ def guess_target_metadata(dataset, num_samples: int = 100) -> Dict[str, dict]:
     energies, natoms, has_forces = [], [], True
     for i in idx:
         s = dataset[int(i)]
-        energies.append(s.energy)
+        energies.append(0.0 if s.energy is None else s.energy)
         natoms.append(s.natoms)
         has_forces &= s.forces is not None
     energies = np.asarray(energies)

@@ -96,7 +96,7 @@ def write_shard_bin(path: str, systems: Sequence[System]) -> str:
         np.ascontiguousarray(np.stack([s.cell for s in systems]) if systems else np.zeros((0, 3, 3), np.float32)).astype(np.float32).tofile(f)
         np.asarray([s.sid for s in systems], np.int64).tofile(f)
         np.asarray([s.fid for s in systems], np.int64).tofile(f)
-        np.asarray([s.energy for s in systems], np.float32).tofile(f)
+        np.asarray([0.0 if s.energy is None else s.energy for s in systems], np.float32).tofile(f)
         np.asarray([s.y_relaxed for s in systems], np.float32).tofile(f)
         np.uint8(1 if has_forces else 0).tofile(f)
         cat(lambda s: s.pos, np.float32, (3,)).tofile(f)

@@ -86,7 +86,7 @@ class System:
         fixed: Optional[np.ndarray] = None,
         sid: int = 0,
         fid: int = 0,
-        energy: float = 0.0,
+        energy: Optional[float] = None,
         y_relaxed: float = 0.0,
         pos_relaxed: Optional[np.ndarray] = None,
         forces: Optional[np.ndarray] = None,
@@ -103,7 +103,9 @@ class System:
         )
         self.sid = int(sid)
         self.fid = int(fid)
-        self.energy = float(energy)
+        # None = unset; distinguishes "no energy label" from a legitimate 0.0
+        # (the LMDB exporter must not drop y=0.0 records).
+        self.energy = None if energy is None else float(energy)
         self.y_relaxed = float(y_relaxed)
         self.pos_relaxed = (
             self.pos.copy() if pos_relaxed is None else np.asarray(pos_relaxed, np.float32).reshape(n, 3)
@@ -157,7 +159,7 @@ def collate(systems: Sequence[System], max_atoms: Optional[int] = None, with_for
         out["atom_mask"][i, :k] = True
         out["sid"][i] = s.sid
         out["fid"][i] = s.fid
-        out["energy"][i] = s.energy
+        out["energy"][i] = 0.0 if s.energy is None else s.energy
         out["y_relaxed"][i] = s.y_relaxed
         out["pos_relaxed"][i, :k] = s.pos_relaxed
         if with_forces and s.forces is not None:

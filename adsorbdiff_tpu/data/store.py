@@ -46,7 +46,7 @@ def write_shard(path: str, systems: Sequence[System]) -> None:
         "cell": np.stack([s.cell for s in systems]) if systems else np.zeros((0, 3, 3), np.float32),
         "sid": np.asarray([s.sid for s in systems], np.int64),
         "fid": np.asarray([s.fid for s in systems], np.int64),
-        "energy": np.asarray([s.energy for s in systems], np.float32),
+        "energy": np.asarray([0.0 if s.energy is None else s.energy for s in systems], np.float32),
         "y_relaxed": np.asarray([s.y_relaxed for s in systems], np.float32),
     }
     if systems and all(s.forces is not None for s in systems):

@@ -18,13 +18,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ensure_fitted(scale_factors: Any, warn: bool = False) -> bool:
+def ensure_fitted(scale_factors: Any, warn: bool = False, fitted: Optional[bool] = None) -> bool:
     """Reference contract (ref: modules/scaling/util.py:8-30, called with
     warn=True before train/validate/predict and withOUT warn — i.e. raising —
-    before run_relaxations, ocp_trainer.py:116/413/538): every ScaleFactor
-    still at its init value (1.0) counts as unfitted."""
+    before run_relaxations, ocp_trainer.py:116/413/538).
+
+    ``fitted`` is the explicit fitted-state the reference tracks per factor
+    (scale_factor.py:53-82): pass True after loading a scale file / fitted
+    checkpoint / running the fitter, False for a fresh init.  When ``None``
+    (caller doesn't track it) fall back to the value heuristic: every
+    ScaleFactor still at its init value (1.0) counts as unfitted — note this
+    can false-positive on a legitimately-fitted factor of exactly 1.0, which
+    is why callers that know should say so.
+    """
     leaves = jax.tree.leaves(scale_factors)
-    unfitted = [float(x) for x in leaves if np.allclose(np.asarray(x), 1.0)]
+    if fitted is True or not leaves:
+        return True
+    if fitted is False:
+        unfitted = [float(x) for x in leaves]
+    else:
+        unfitted = [float(x) for x in leaves if np.allclose(np.asarray(x), 1.0)]
     if unfitted:
         msg = (
             f"{len(unfitted)} scale factors are not fitted. Please make sure that you "

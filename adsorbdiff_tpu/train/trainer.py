@@ -130,6 +130,10 @@ class BaseTrainer:
         self._normalizers(config)
         self._optimizer()
         self.state: Optional[TrainState] = None
+        # explicit ScaleFactor fitted-state (ref: scale_factor.py:53-82):
+        # True once a scale file / checkpoint supplies fitted values — the
+        # value==1.0 heuristic alone false-positives on legitimate 1.0 factors
+        self.scale_factors_fitted: Optional[bool] = None
         self._step_fns: Dict[Tuple[int, int], Any] = {}
         self._eval_fns: Dict[Tuple[int, int], Any] = {}
         self.evaluator = Evaluator(task=self.name if self.name in Evaluator.task_metrics else "ocp")
@@ -249,6 +253,9 @@ class BaseTrainer:
             from adsorbdiff_tpu.train.scaling import load_scales_compat
 
             scale_factors = load_scales_compat(scale_factors, scale_file)
+            self.scale_factors_fitted = True
+        else:
+            self.scale_factors_fitted = False
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -268,6 +275,10 @@ class BaseTrainer:
             raise RuntimeError("init_state(example_batch) before load_checkpoint")
         self.state, _ = ckpt.load_checkpoint(path, self.state)
         self.step = int(self.state.step)
+        # a checkpoint's scale factors count as fitted, matching the reference
+        # consistency check on load (scale_factor.py:53-82)
+        if jax.tree.leaves(self.state.scale_factors):
+            self.scale_factors_fitted = True
 
     def save(self, name: str = "checkpoint") -> str:
         return ckpt.save_checkpoint(self.ckpt_dir, name, self.state, config=self.config)
@@ -584,7 +595,8 @@ class DenoisingTrainer(BaseTrainer):
         from adsorbdiff_tpu.train.scaling import ensure_fitted
 
         # hard guard, matching the reference (sde_denoising_trainer.py:751)
-        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")))
+        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")),
+                      fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
         engine = DiffusionEngine(self.score_fn, self.denoising_pos_params)
         traj_dir = (self.task_cfg.get("relax_opt", {}) or {}).get("traj_dir")
@@ -742,7 +754,8 @@ class S2EFTrainer(BaseTrainer):
 
         # hard guard, matching the reference (ocp_trainer.py:538): relaxation
         # quality silently collapses with unfitted scale factors
-        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")))
+        ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")),
+                      fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
         relax_opt = dict(self.task_cfg.get("relax_opt", {}) or {})
         engine = RelaxationEngine(

@@ -55,6 +55,46 @@ def test_lmdbio_page_size_detection(tmp_path):
         assert r.get(b"b") == b"x" * 9000
 
 
+def test_lmdbio_meta_page_size_field(tmp_path):
+    """liblmdb stores the page size in the free-DB md_pad slot of the meta
+    page (mdb.c: mm_psize = mm_dbs[FREE_DBI].md_pad) and reads me_psize from
+    it on open — the writer must populate it or real liblmdb rejects the file,
+    and the reader must prefer it over stride-probing."""
+    import struct
+
+    for psize in (4096, 8192):
+        path = str(tmp_path / f"meta{psize}.lmdb")
+        write_lmdb(path, [(b"k", b"v")], psize=psize)
+        with open(path, "rb") as f:
+            raw = f.read(2 * psize)
+        for page in (0, 1):  # both meta pages
+            # offset: 16 B page header + 24 B (magic,version,address,mapsize)
+            assert struct.unpack_from("<I", raw, page * psize + 40)[0] == psize
+        with LmdbReader(path) as r:
+            assert r.psize == psize
+    # the committed fixture carries the field too (regenerated post-fix)
+    with open(FIXTURE, "rb") as f:
+        assert struct.unpack_from("<I", f.read(64), 40)[0] == 4096
+
+
+def test_export_zero_energy_and_streaming(tmp_path):
+    """A legitimate y of exactly 0.0 must survive export (falsy-zero bug),
+    and an unset energy must stay unset through the LMDB round trip."""
+    from adsorbdiff_tpu.data.lmdb_compat import export_systems_to_lmdb
+    from tests.test_data import rand_system
+
+    rng = np.random.default_rng(9)
+    s_zero = rand_system(rng, 6, sid=1)
+    s_zero.energy = 0.0
+    s_unset = rand_system(rng, 7, sid=2)
+    s_unset.energy = None
+    path = str(tmp_path / "zero.lmdb")
+    export_systems_to_lmdb([s_zero, s_unset], path)
+    back = list(iter_lmdb_systems(path))
+    assert back[0].energy == 0.0
+    assert back[1].energy is None
+
+
 def test_lmdbio_rejects_garbage(tmp_path):
     path = str(tmp_path / "bad.lmdb")
     with open(path, "wb") as f:
