@@ -18,7 +18,14 @@ data layout):
   pair of einsums over (basis-emb, neighbor) axes;
 - directed-edge bookkeeping (``id_swap``, edge symmetrization,
   ``repeat_blocks``) disappears: triplets/quads are enumerated *per output
-  edge*, so messages land directly on the edge that consumes them;
+  edge* with the reference's exact motifs (ref: interaction_indices.py) —
+  e2e/a2e/e2a triplets SHARE THE TARGET atom (in-edge b->a, out-edge c->a,
+  angle at a), so the in-edge axis is simply the other slots of the same
+  dense row (no gather at all); quadruplets chain through the qint source
+  (d->b main in-edge of b, qint edge b->a, main out-edge c->a) with the
+  reference's angle conventions (cos_abd = <V_ba, V_db>, dihedral between
+  V_ca x V_ba and V_db x V_ba, all V source->target) and all three identity
+  masks (d != a, b != c, c != d as periodic atoms);
 - the reference's ``symmetric_mp`` (ref: interaction_block.py:445-512,
   :595-668 — each directed edge also receives its REVERSE edge's aggregated
   message through a second up-projection, summed /sqrt(2)) is implemented
@@ -296,10 +303,10 @@ class GemNetOC(nn.Module):
     compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
     # bilinear / basis-embedding matmuls in bf16 (params + geometry stay f32)
 
-    def _rbf(self, name: str):
+    def _rbf(self, name: str, cutoff: Optional[float] = None):
         return RadialBasis(
             num_radial=self.num_radial,
-            cutoff=self.cutoff,
+            cutoff=self.cutoff if cutoff is None else cutoff,
             rbf=self.rbf or {"name": "gaussian"},
             envelope=self.envelope or {"name": "polynomial", "exponent": 5},
             name=name,
@@ -334,59 +341,62 @@ class GemNetOC(nn.Module):
         tagged = jnp.zeros_like(batch.tags, dtype=bool)
         for t in self.qint_tags:
             tagged |= batch.tags == t
-        qmask = nl_q.mask & tagged[:, :, None] & _gather_rows(tagged, nl_q.src)
+        # keep a qint edge if EITHER endpoint carries a qint tag
+        # (ref: gemnet_oc.py:1022-1035, qint_tag_mask_s | qint_tag_mask_t)
+        qmask = nl_q.mask & (tagged[:, :, None] | _gather_rows(tagged, nl_q.src))
+
+        # Reference edge-vector convention: graph["vector"] points SOURCE ->
+        # TARGET (c -> a, ref: gemnet_oc.py:915-919); our `unit` points target
+        # -> source, so v = -unit below.  All angle formulas are written in
+        # the reference's V terms and simplified (<-u, -w> = <u, w>).
 
         # ---------------- bases ---------------------------------------------
         rad_main = self._rbf("radial_basis")(dist)  # [B,N,K1,R]
-        rad_ae = self._rbf("radial_basis_aeaint")(dist_ae)
+        rad_ae = self._rbf("radial_basis_aeaint", self.cutoff_aeaint)(dist_ae)
 
         basis_atom_update = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_h")(rad_main)
         basis_output = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_out")(rad_main)
 
-        # e2e triplets: out edge (a,k1, src c); in edges of c: (c,k2, src d)
-        in_unit = _gather_rows(unit, nl.src)  # [B,N,K1,K2,3] = unit vecs of c's edges
-        in_mask = _gather_rows(emask, nl.src)
-        cos_e2e = _cos_clamped(-unit[:, :, :, None, :], in_unit)  # angle at c between c->a and c->d
-        # mask backtracking triplet d == a (same periodic image)
-        back = _same_edge(
-            _gather_rows(nl.src, nl.src),
-            _gather_rows(nl.cell_offsets, nl.src),
-            # the reverse of edge (a -> c): src a, offset -off
-            jnp.broadcast_to(
-                jax.lax.broadcasted_iota(jnp.int32, nl.src.shape[:2], 1)[:, :, None, None],
-                _gather_rows(nl.src, nl.src).shape,
-            ),
-            -nl.cell_offsets[:, :, :, None, :],
-        )
-        trip_mask_e2e = emask[..., None] & in_mask & ~back
+        # e2e triplets (ref: interaction_indices.get_triplets): in-edge b->a
+        # and out-edge c->a SHARE THE TARGET a — in dense-row terms both are
+        # slots of row a, so the triplet axes are (k1=out, k2=in) of the SAME
+        # row and no gather is needed.  Only the identical edge is excluded
+        # (k2 == k1); b == c in a different periodic image is a valid triplet.
+        k1 = nl.src.shape[2]
+        cos_cab = _cos_clamped(unit[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca, V_ba>
+        not_self = ~jnp.eye(k1, dtype=bool)[None, None]
+        trip_mask_e2e = emask[:, :, :, None] & emask[:, :, None, :] & not_self
         # factorized triplet basis (same reordering as the quad interaction:
-        # cir[u,k,f] = sum_s cbf[u,k,s] * radW[u,s,f], so the bilinear's
-        # k-contraction runs against the S-component cbf instead of a
-        # materialized [B,N,K1,K2,F] cir tensor)
+        # the bilinear's k-contraction runs against the S-component cbf
+        # instead of a materialized [B,N,K1,K2,F] cir tensor)
         cbf_e2e = cdt_cast(jnp.where(
-            trip_mask_e2e[..., None], legendre_y_l0(cos_e2e, self.num_spherical), 0.0
+            trip_mask_e2e[..., None], legendre_y_l0(cos_cab, self.num_spherical), 0.0
         ))  # [B,N,K1,K2,S], mask folded
         radw_tint = BasisEmbedding(
             self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint"
-        )(rad_main, radw_only=True)  # [B,N,K1,S,F]
+        )(rad_main, radw_only=True)  # [B,N,K1,S,F] — radial part of the OUT edge d_ca
         rad_e2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_tint")(rad_main)
 
-        # quadruplets: edge ca (a,k1), qint edge ab (a,kq), in-edge db of b (b,k2)
+        # quadruplets (ref: interaction_indices.get_quadruplets): out edge ca
+        # (a,k1), qint edge ba (a,kq, src b), main in-edge db of b (b,k2)
         if self.quad_interaction:
-            q_in_unit = _gather_rows(unit, nl_q.src)  # [B,N,Kq,K1in,3]: edges of b
+            q_in_unit = _gather_rows(unit, nl_q.src)  # [B,N,Kq,K2,3]: b's in-edges d->b
             q_in_mask = _gather_rows(emask, nl_q.src)
-            # angle abd at vertex b between b->a (-unit_q) and b->d
-            cos_abd = _cos_clamped(-unit_q[:, :, :, None, :], q_in_unit)  # [B,N,Kq,K2]
+            # cos(abd) = <V_ba, V_db> (ref: calculate_quad_angles :668-676);
+            # V_ba = -unit_q, V_db = -q_in_unit, signs cancel
+            cos_abd = _cos_clamped(unit_q[:, :, :, None, :], q_in_unit)  # [B,N,Kq,K2]
             cbf_q = legendre_y_l0(cos_abd, self.num_spherical)
-            rad_q = self._rbf("radial_basis_qint")(dist_q)
+            rad_q = self._rbf("radial_basis_qint", self.cutoff_qint)(dist_q)
             cir_q = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_qint")(
                 rad_q[:, :, :, None, :], cbf_q
             )
-            # angle cab at vertex a between a->c and a->b: [B,N,K1,Kq]
-            cos_cab = _cos_clamped(unit[:, :, :, None, :], unit_q[:, :, None, :, :])
-            # dihedral cabd: planes (c,a,b) and (a,b,d) about axis ab
+            # cos(cab) = <V_ca, V_ba> = <unit, unit_q>: [B,N,K1,Kq]
+            cos_cab_q = _cos_clamped(unit[:, :, :, None, :], unit_q[:, :, None, :, :])
+            # dihedral cabd = angle between V_ca x V_ba and V_db x V_ba
+            # (ref: :678-698); in our -V terms: n1 = unit x unit_q,
+            # n2 = q_in_unit x unit_q
             n1 = jnp.cross(unit[:, :, :, None, :], unit_q[:, :, None, :, :])  # [B,N,K1,Kq,3]
-            n2 = jnp.cross(unit_q[:, :, :, None, :], q_in_unit)  # [B,N,Kq,K2,3]
+            n2 = jnp.cross(q_in_unit, unit_q[:, :, :, None, :])  # [B,N,Kq,K2,3]
             n1 = n1[:, :, :, :, None, :]  # [B,N,K1,Kq,1,3]
             n2 = n2[:, :, None, :, :, :]  # [B,N,1,Kq,K2,3]
             cos_dih = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(
@@ -408,9 +418,10 @@ class GemNetOC(nn.Module):
             radw = sph_w(rad_main, radw_only=True).reshape(
                 rad_main.shape[:3] + (self.num_spherical, self.num_spherical, self.emb_size_sbf)
             )
-            y_cab = legendre_y_l0(cos_cab, self.num_spherical)  # [B,N,K1,Kq,S]
+            y_cab = legendre_y_l0(cos_cab_q, self.num_spherical)  # [B,N,K1,Kq,S]
             rad_qint_edges = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_qint")(rad_main)
-            # quad validity: b != c, d != a
+            # quad validity: b != c, d != a, c != d (as periodic atoms,
+            # ref: get_quadruplets masks)
             b_is_c = _same_edge(
                 nl_q.src[:, :, None, :], nl_q.cell_offsets[:, :, None, :, :],
                 nl.src[:, :, :, None], nl.cell_offsets[:, :, :, None, :],
@@ -425,34 +436,70 @@ class GemNetOC(nn.Module):
             # quad mask, factorized: m1 over (k1,kq), m2 over (kq,k2)
             quad_m1 = emask[:, :, :, None] & qmask[:, :, None, :] & ~b_is_c  # [B,N,K1,Kq]
             quad_m2 = q_in_mask & ~d_is_a  # [B,N,Kq,K2]
+            # c == d exclusion does NOT factorize over (k1,kq)x(kq,k2); but for
+            # each (k1,kq) at most ONE k2 matches c (slots are unique (src,
+            # offset) pairs), so the excluded term is located by argmax and
+            # subtracted from the factorized sum inside the block loop.
+            # Condition: src[b,k2] == src[a,k1] and off_main[b,k2] + off_q[a,kq]
+            # == off_main[a,k1] (all chains measured to the same target image).
+            q_src_rows = _gather_rows(nl.src, nl_q.src)  # [B,N,Kq,K2]
+            q_off_rows = _gather_rows(nl.cell_offsets, nl_q.src)  # [B,N,Kq,K2,3]
+            cd_match = (
+                (q_src_rows[:, :, None, :, :] == nl.src[:, :, :, None, None])
+                & jnp.all(
+                    q_off_rows[:, :, None, :, :, :] + nl_q.cell_offsets[:, :, None, :, None, :]
+                    - nl.cell_offsets[:, :, :, None, None, :]
+                    == 0,
+                    axis=-1,
+                )
+            )  # [B,N,K1,Kq,K2] bool (bools are cheap; the float5-D never exists)
+            cd_k2 = jnp.argmax(cd_match, axis=-1).astype(jnp.int32)  # [B,N,K1,Kq]
+            cd_valid = jnp.any(cd_match, axis=-1)
+            # dihedral Legendre at the excluded slot, precomputed once
+            y_dih_full = legendre_y_l0(cos_dih, self.num_spherical)  # [B,N,K1,Kq,K2,S]
+            y_dih_star = jnp.take_along_axis(
+                y_dih_full, cd_k2[..., None, None], axis=4
+            )[..., 0, :]  # [B,N,K1,Kq,S]
             # fold m1 into the (cab x radW) factor, computed once for all blocks
             ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
             quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
 
-        # a2e triplets: out edge (a,k1,src c); a2ee2a neighbors of c: (c,k2,src d) -> message from h[d]
-        ae_in_unit = _gather_rows(unit_ae, nl.src)  # [B,N,K1,K2ae,3]
-        ae_in_mask = _gather_rows(nl_ae.mask, nl.src)
-        cos_a2e = _cos_clamped(-unit[:, :, :, None, :], ae_in_unit)
-        trip_mask_a2e = emask[..., None] & ae_in_mask
-        cbf_a2e = cdt_cast(jnp.where(
-            trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
-        ))  # [B,N,K1,K2ae,S], mask folded (factorized, see e2e)
-        radw_aeint = BasisEmbedding(
-            self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint"
-        )(rad_main, radw_only=True)  # [B,N,K1,S,F]
-        rad_a2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aeint")(rad_ae)
+        # a2e triplets (ref: get_mixed_triplets(a2ee2a, main)): in-edge b->a
+        # (a2ee2a) and out-edge c->a (main) SHARE THE TARGET a — both are
+        # slots of row a, no gather.  Message = dense(h)[b] expanded over
+        # a2ee2a edges; excluded self-loops are b == c in the same image.
+        same_ae = _same_edge(
+            nl_ae.src[:, :, None, :], nl_ae.cell_offsets[:, :, None, :, :],
+            nl.src[:, :, :, None], nl.cell_offsets[:, :, :, None, :],
+        )  # [B,N,K1,Kae]: same periodic source atom across the two tables
+        if self.atom_edge_interaction:
+            cos_a2e = _cos_clamped(unit[:, :, :, None, :], unit_ae[:, :, None, :, :])  # <V_ca, V_ba>
+            trip_mask_a2e = emask[:, :, :, None] & nl_ae.mask[:, :, None, :] & ~same_ae
+            cbf_a2e = cdt_cast(jnp.where(
+                trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
+            ))  # [B,N,K1,Kae,S], mask folded (factorized, see e2e)
+            radw_aeint = BasisEmbedding(
+                self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint"
+            )(rad_main, radw_only=True)  # [B,N,K1,S,F] — radial of the main OUT edge
+            rad_a2e = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aeint")(rad_ae)
 
-        # e2a triplets: out ATOM a; a2ee2a neighbors (a,kb, src b); in-edges of b (b,k2, src d)
-        ea_in_unit = _gather_rows(unit, nl_ae.src)  # [B,N,Kae,K1,3]
-        ea_in_mask = _gather_rows(emask, nl_ae.src)
-        cos_e2a = _cos_clamped(-unit_ae[:, :, :, None, :], ea_in_unit)
-        cbf_e2a = legendre_y_l0(cos_e2a, self.num_spherical)
-        rad_ae_in = _gather_rows(rad_main, nl_ae.src)  # rbf of in-edges db
-        cir_e2a = BasisEmbedding(self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_eaint")(
-            rad_ae_in, cbf_e2a
-        )
-        rad_e2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_eaint")(rad_main)
-        trip_mask_e2a = nl_ae.mask[..., None] & ea_in_mask
+        # e2a triplets (ref: get_mixed_triplets(main, a2ee2a) + idx_agg2):
+        # in-edge b->a (main) and out-edge c->a (a2ee2a) share the target a;
+        # the bilinear output aggregates into atom a (the a2ee2a target).
+        if self.edge_atom_interaction:
+            cos_e2a = _cos_clamped(unit_ae[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca(ae), V_ba(main)>
+            trip_mask_e2a = (
+                nl_ae.mask[:, :, :, None]
+                & emask[:, :, None, :]
+                & ~jnp.swapaxes(same_ae, 2, 3)
+            )  # [B,N,Kae,K1]
+            cbf_e2a = cdt_cast(jnp.where(
+                trip_mask_e2a[..., None], legendre_y_l0(cos_e2a, self.num_spherical), 0.0
+            ))  # [B,N,Kae,K1,S], mask folded
+            radw_eaint = BasisEmbedding(
+                self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_eaint"
+            )(rad_ae, radw_only=True)  # [B,N,Kae,S,F] — radial of the a2ee2a OUT edge
+            rad_e2a = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_eaint")(rad_main)
 
         # a2a: all pairs within cutoff_aint including in-plane periodic images
         # (dense, cap-free like the config's max_neighbors_aint: 1000 under
@@ -460,19 +507,20 @@ class GemNetOC(nn.Module):
         # radial basis, so images fold into a masked per-image accumulation of
         # the basis — downstream consumers see the same [B,N,N,emb] tensor.
         # z-images are skipped: the slab vacuum exceeds cutoff_aint.
-        rbf_aint = self._rbf("radial_basis_aint")
-        emb_aint = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aint")
-        pair_mask = batch.atom_mask[:, :, None] & batch.atom_mask[:, None, :]
-        rx, ry = int(self.cell_reps[0]), int(self.cell_reps[1])
-        basis_a2a = 0.0
-        for oi in range(-rx, rx + 1):
-            for oj in range(-ry, ry + 1):
-                shift = oi * batch.cell[:, 0] + oj * batch.cell[:, 1]  # [B,3]
-                diff = batch.pos[:, None, :, :] + shift[:, None, None, :] - batch.pos[:, :, None, :]
-                dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # grad-safe at i==j
-                m_img = pair_mask & (dist <= self.cutoff_aint) & (dist > 1e-2)
-                basis_a2a = basis_a2a + jnp.where(m_img[..., None], emb_aint(rbf_aint(dist)), 0.0)
-        aa_mask = pair_mask  # per-image cutoffs already applied above
+        if self.atom_interaction:
+            rbf_aint = self._rbf("radial_basis_aint", self.cutoff_aint)
+            emb_aint = BasisEmbedding(self.num_radial, self.emb_size_rbf, name="mlp_rbf_aint")
+            pair_mask = batch.atom_mask[:, :, None] & batch.atom_mask[:, None, :]
+            rx, ry = int(self.cell_reps[0]), int(self.cell_reps[1])
+            basis_a2a = 0.0
+            for oi in range(-rx, rx + 1):
+                for oj in range(-ry, ry + 1):
+                    shift = oi * batch.cell[:, 0] + oj * batch.cell[:, 1]  # [B,3]
+                    diff = batch.pos[:, None, :, :] + shift[:, None, None, :] - batch.pos[:, :, None, :]
+                    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # grad-safe at i==j
+                    m_img = pair_mask & (dist <= self.cutoff_aint) & (dist > 1e-2)
+                    basis_a2a = basis_a2a + jnp.where(m_img[..., None], emb_aint(rbf_aint(dist)), 0.0)
+            aa_mask = pair_mask  # per-image cutoffs already applied above
 
         # ---------------- embeddings (ref: forward :1272-1276) --------------
         z = batch.atomic_numbers
@@ -480,9 +528,11 @@ class GemNetOC(nn.Module):
         if self.energy_encoding == "scalar":
             e_cond = jnp.zeros_like(batch.energy) if self.sampling else batch.energy
             h = h + nn.Dense(self.emb_size_atom, name="energy_embedding")(e_cond[:, None])[:, None, :]
+        # EdgeEmbedding concat order is [h_source, h_target, rbf]
+        # (ref: layers/embedding_block.py:95-101: cat[h_s, h_t, m])
         h_src = _gather_rows(h, nl.src)
         m = DenseLayer(self.emb_size_edge, name="edge_emb")(
-            jnp.concatenate([jnp.broadcast_to(h[:, :, None, :], h_src.shape), h_src, rad_main], axis=-1)
+            jnp.concatenate([h_src, jnp.broadcast_to(h[:, :, None, :], h_src.shape), rad_main], axis=-1)
         )  # [B,N,K1,He]
         m = jnp.where(emask[..., None], m, 0.0)
 
@@ -530,8 +580,8 @@ class GemNetOC(nn.Module):
                 x_ba * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_tint_rbf")(rad_e2e)
             )
             x_ba = DenseLayer(self.emb_size_trip_in, name=f"{name}_tint_down")(x_ba)
-            x_in = _gather_rows(x_ba, nl.src)  # [B,N,K1,K2,ei] in-edge embeddings
-            d_t = jnp.einsum("bnuks,bnuke->bnuse", cbf_e2e, x_in)
+            # in-edges b->a are the other slots of the SAME row a — no gather
+            d_t = jnp.einsum("bnuks,bnke->bnuse", cbf_e2e, x_ba)
             outer_t = jnp.einsum("bnusf,bnuse->bnufe", radw_tint.astype(d_t.dtype), d_t)
             x_t = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                     name=f"{name}_tint_bilinear")(outer=outer_t)
@@ -557,9 +607,19 @@ class GemNetOC(nn.Module):
                 # factorized contraction (see the basis-stage comment): contract
                 # k2 against the dihedral Legendre, then (kq, j) against the
                 # m1-folded (cab x radW) factor — no [K1,Kq,K2,F] tensor exists
-                y_dih = cdt_cast(legendre_y_l0(cos_dih, self.num_spherical))  # [B,N,K1,Kq,K2,S]
+                y_dih = cdt_cast(y_dih_full)  # [B,N,K1,Kq,K2,S]
                 xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
                 d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", y_dih, xm)
+                # subtract the single c == d quad per (k1,kq) that the
+                # factorized mask cannot exclude (located in the basis stage)
+                xm_star = jnp.take_along_axis(
+                    xm[:, :, None], cd_k2[..., None, None], axis=4
+                )[..., 0, :]  # [B,N,K1,Kq,eq]
+                d2 = d2 - jnp.where(
+                    cd_valid[..., None, None],
+                    cdt_cast(y_dih_star)[..., :, None] * xm_star[..., None, :],
+                    0.0,
+                )
                 outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
                                         name=f"{name}_qint_bilinear")(outer=outer)
@@ -572,14 +632,16 @@ class GemNetOC(nn.Module):
 
             # --- atom->edge interaction (ref: TripletInteraction a2e) -------
             if self.atom_edge_interaction:
-                x_h = DenseLayer(self.emb_size_edge, name=f"{name}_aeint_dense")(h)
-                x_h = _gather_rows(x_h, nl_ae.src)  # [B,N,Kae,He]: neighbor-atom embs
+                # a2e uses ATOM-sized dense/rbf (ref: InteractionBlock builds
+                # atom_edge_interaction with emb_size_in=emb_size_atom)
+                x_h = DenseLayer(self.emb_size_atom, name=f"{name}_aeint_dense")(h)
+                x_h = _gather_rows(x_h, nl_ae.src)  # [B,N,Kae,A]: neighbor-atom embs
                 x_h = ScaleFactor(name=f"{name}_aeint_scale_rbf")(
-                    x_h * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_aeint_rbf")(rad_a2e)
+                    x_h * DenseLayer(self.emb_size_atom, activation=False, name=f"{name}_aeint_rbf")(rad_a2e)
                 )
                 x_h = DenseLayer(self.emb_size_trip_in, name=f"{name}_aeint_down")(x_h)
-                x_h_in = _gather_rows(x_h, nl.src)  # per out-edge: neighbors of source c
-                d_ae = jnp.einsum("bnuks,bnuke->bnuse", cbf_a2e, x_h_in)
+                # in-edges (a2ee2a b->a) are slots of the same row a — no gather
+                d_ae = jnp.einsum("bnuks,bnke->bnuse", cbf_a2e, x_h)
                 outer_ae = jnp.einsum("bnusf,bnuse->bnufe", radw_aeint.astype(d_ae.dtype), d_ae)
                 x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                          name=f"{name}_aeint_bilinear")(outer=outer_ae)
@@ -599,12 +661,15 @@ class GemNetOC(nn.Module):
                 x_m = ScaleFactor(name=f"{name}_eaint_scale_rbf")(
                     x_m * DenseLayer(self.emb_size_edge, activation=False, name=f"{name}_eaint_rbf")(rad_e2a)
                 )
-                x_m = DenseLayer(self.emb_size_aint_in, name=f"{name}_eaint_down")(x_m)
-                x_m_in = _gather_rows(x_m, nl_ae.src)  # [B,N,Kae,K1,ei]: edges of b
-                h_e2a_kb = EfficientBilinear(self.emb_size_aint_in, self.emb_size_cbf, self.emb_size_aint_out,
-                                             name=f"{name}_eaint_bilinear")(
-                    cir_e2a, x_m_in, trip_mask_e2a, contract_axes=2,
-                )
+                # e2a uses the TRIP sizes for down/bilinear (ref: InteractionBlock
+                # builds edge_atom_interaction with emb_size_trip_in/out)
+                x_m = DenseLayer(self.emb_size_trip_in, name=f"{name}_eaint_down")(x_m)
+                # in-edges (main b->a) are slots of the same row a — no gather;
+                # per atom: sum over (kae, s, k1) of radW(d_ca) Y(cab) x[b->a]
+                d_ea = jnp.einsum("bnaks,bnke->bnase", cbf_e2a, x_m)  # [B,N,Kae,S,ei]
+                outer_ea = jnp.einsum("bnasf,bnase->bnfe", radw_eaint.astype(d_ea.dtype), d_ea)
+                h_e2a_kb = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
+                                             name=f"{name}_eaint_bilinear")(outer=outer_ea)
                 h_e2a = ScaleFactor(name=f"{name}_eaint_scale_sum")(h_e2a_kb)
                 h_new = h_new + DenseLayer(self.emb_size_atom, name=f"{name}_eaint_up")(h_e2a)
 
@@ -641,10 +706,11 @@ class GemNetOC(nn.Module):
             h2 = MLPStack(self.emb_size_atom, self.num_atom, name=f"{name}_au_mlp")(h2)
             h = (h_mid + h2) * inv_sqrt_2
 
-            # --- concat layer: refresh m with updated atoms (ref: :346-355) --
+            # --- concat layer: refresh m with updated atoms (ref: :346-355;
+            # EdgeEmbedding order [h_s, h_t, m]) --
             h_src2 = _gather_rows(h, nl.src)
             m2 = DenseLayer(self.emb_size_edge, name=f"{name}_concat")(
-                jnp.concatenate([jnp.broadcast_to(h[:, :, None, :], h_src2.shape), h_src2, m], axis=-1)
+                jnp.concatenate([h_src2, jnp.broadcast_to(h[:, :, None, :], h_src2.shape), m], axis=-1)
             )
             for r in range(self.num_concat):
                 m2 = ResidualLayer(self.emb_size_edge, name=f"{name}_concat_res_{r}")(m2)
@@ -675,7 +741,9 @@ class GemNetOC(nn.Module):
                 x_f = ResidualLayer(self.emb_size_edge, name=f"out_mlp_F{tag}_{r}")(x_f)
             f_st = nn.Dense(1, use_bias=False, name=f"out_forces{tag}")(x_f)[..., 0]  # [B,N,K1]
             f_st = jnp.where(emask, f_st, 0.0)
-            f_vec = jnp.sum(f_st[..., None] * unit, axis=2)  # [B,N,3] aggregated at target
+            # F_t += F_st * vector with vector pointing SOURCE -> TARGET
+            # (ref: gemnet_oc.py:1348-1357; our unit points target -> source)
+            f_vec = jnp.sum(f_st[..., None] * -unit, axis=2)  # [B,N,3] aggregated at target
             return jnp.where(batch.atom_mask[..., None], f_vec, 0.0)
 
         forces = force_head("")

