@@ -1,34 +1,51 @@
 """EquiformerV2 — SO(2)-convolution graph-attention transformer on spherical
-harmonics, TPU-native.
+harmonics, TPU-native, reference-exact wiring.
 
 Rebuild of the reference EquiformerV2 (ref: adsorbdiff/models/equiformer_v2/
-equiformer_v2_oc20.py:65-621, so2_ops.py:13-384, transformer_block.py:22-728,
-equiformer_v2_denoising.py:55-318) on the dense padded ``[B, N, K]`` layout:
+equiformer_v2_oc20.py:65-621, so2_ops.py:13-238, transformer_block.py:22-728,
+equiformer_v2_denoising.py:55-318) on the dense padded ``[B, N, K]`` layout.
+The architecture reproduces the reference module-for-module so published
+torch checkpoints import exactly (see train/torch_import.py):
 
-- node features are real-SH coefficient tensors ``[B, N, (lmax+1)^2, C]``;
+- node features are real-SH coefficient tensors ``[B, N, (lmax+1)^2, C]``
+  (full axis; the reference's m-truncated layouts become masks plus the
+  per-l sqrt((2l+1)/(2mmax+1)) rescale of CoefficientMappingModule
+  .get_rotate_inv_rescale, ref: so3.py:158-186);
 - per-edge Wigner-D matrices come from the e3nn-free composition in
-  :mod:`adsorbdiff_tpu.models.so3` (ref replaced: wigner.py Jd.pt asset);
-- SO(2) convolutions act on m-indexed slices via static gather tables with
-  the reference's complex weight structure (ref: so2_ops.py:13-238);
-- attention softmax runs over the fixed K neighbor axis with masks (the
-  reference's variable-edge segment softmax, same math);
-- FFNs use the S^2 grid MLP path (``use_grid_mlp`` in the published config,
-  ref: configs/denoising/eqv2_so3.yml) with exact Gauss-Legendre grids;
-- the denoising variant's atomic-radius edge-distance offset
-  (ref: equiformer_v2_denoising.py:208-213), conditional energy embedding
-  added to the l=0 channel (:258-264, zeroed when sampling), and the second
-  rotation-score head (``FOR_denoising``, :310-318) are all included.
+  :mod:`adsorbdiff_tpu.models.so3`; the basis differs from the shipped
+  ``Jd.pt`` by a FIXED orthogonal block-diagonal change of basis P with
+  D_ref(R) = P D_ours(R) P^T (verified in tests/test_torch_import.py), which
+  the import map absorbs into the SO(2)/SO(3) weights;
+- each attention block carries its own source/target atom embeddings and
+  radial MLP (``RadialFunction``: Linear+LayerNorm+SiLU chain) feeding
+  per-m gates, exactly as ``SO2_Convolution(internal_weights=False)``;
+- attention alpha logits and the separable-S^2 gating scalars come from the
+  EXTRA m=0 output channels of the first SO(2) conv (ref:
+  transformer_block.py:300-340), with LayerNorm + SmoothLeakyReLU + per-head
+  dot (``use_attn_renorm``, published config);
+- value path: SeparableS2Activation (silu on l=0 scalars, S^2 grid silu on
+  l>0 with the m-truncated rescaled grids) then an internal-weight SO(2)
+  conv; heads weighted post-conv; SO3_LinearV2 projection (per-l weights);
+- FFN (``use_grid_mlp`` + ``use_sep_s2_act``): scalar silu MLP on the l=0
+  input, SO3_Linear, 3-layer bias-free grid MLP, l=0 replaced by the scalar
+  branch, SO3_Linear out (ref: transformer_block.py:373-532);
+- ``layer_norm_sh``: LayerNorm on l=0; one SHARED degree-balanced RMS over
+  all l>0 with per-(l, channel) affine scales (ref: layer_norm.py:129-245);
+- energy = sum of per-atom FFN scalars / avg_num_nodes (77.81317); forces =
+  l=1 coefficients of a 1-channel attention head;
+- the denoising variant subtracts the checkpoint's ``atom_radii`` from edge
+  distances.  NOTE reference bugs replicated for checkpoint parity: the
+  reference divides the pm radii by 100 and then DISCARDS the result
+  (equiformer_v2_denoising.py:168-169 — the Parameter wraps the raw pm
+  tensor), and its ``tag_based_Z`` is a no-op due to operator precedence
+  (:175, ``tags < 2 & (...)`` binds as ``tags < (2 & ...)``).  Both are
+  opt-in via ``radii_pm_bug_compat`` (default False = physically-sane
+  Angstrom offsets for our own training; imports set True).
 
 Training regularization matches the reference drop module
-(ref: equiformer_v2/drop.py:13-151, transformer_block.py:342-343, :686-706):
-``alpha_drop`` is standard dropout on the post-softmax attention weights,
-``drop_path_rate`` is per-graph stochastic depth on both residual branches
-(GraphDropPath — graph == batch row in the dense layout), and ``proj_drop``
-masks whole channels per node, shared across the SH-coefficient axis so it
-stays equivariant (EquivariantDropoutArraySphericalHarmonics,
-drop_graph=False).  All three are active only when ``training=True`` and are
-keyed off the flax ``"dropout"`` RNG collection; the force/energy heads get
-no dropout (ref: equiformer_v2_oc20.py:402 passes alpha_drop=0.0).
+(ref: equiformer_v2/drop.py:13-151): post-softmax ``alpha_drop``, per-graph
+``drop_path_rate`` on both residual branches, equivariant per-channel
+``proj_drop``.
 """
 from __future__ import annotations
 
@@ -43,161 +60,255 @@ from flax import linen as nn
 from adsorbdiff_tpu.common.registry import registry
 from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
-from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope, gaussian_basis
+from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope
 from adsorbdiff_tpu.models.so3 import (
     coeff_select_matrix,
     edge_frame_rotation,
     l1_coeffs_to_vector,
     l_expand_matrix,
     m_index_tables,
+    m_trunc_rescale,
     s2_grid_matrices,
     wigner_D_from_rot,
 )
 
-# Pauling-style atomic radii in pm / 100 (ref: models/embeddings ATOMIC_RADII,
-# used by the denoising models to offset edge distances,
-# ref: equiformer_v2_denoising.py:208-213). Values for Z=0..100, zeros where
-# the reference table has missing entries.
-ATOMIC_RADII_A = np.array([
-    0.0, 0.25, 1.2, 1.45, 1.05, 0.85, 0.7, 0.65, 0.6, 0.5, 1.6,
-    1.8, 1.5, 1.25, 1.1, 1.0, 1.0, 1.0, 0.71, 2.2, 1.8,
-    1.6, 1.4, 1.35, 1.4, 1.4, 1.4, 1.35, 1.35, 1.35, 1.35,
-    1.3, 1.25, 1.15, 1.15, 1.15, 0.0, 2.35, 2.0, 1.8, 1.55,
-    1.45, 1.45, 1.35, 1.3, 1.35, 1.4, 1.6, 1.55, 1.55, 1.45,
-    1.45, 1.4, 1.4, 0.0, 2.6, 2.15, 1.95, 1.85, 1.85, 1.85,
-    1.85, 1.85, 1.85, 1.8, 1.75, 1.75, 1.75, 1.75, 1.75, 1.75,
-    1.75, 1.55, 1.45, 1.35, 1.35, 1.3, 1.35, 1.35, 1.35, 1.5,
-    1.9, 1.8, 1.6, 1.9, 0.0, 0.0, 0.0, 2.15, 1.95, 1.8,
-    1.8, 1.75, 1.75, 1.75, 1.75, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+# Reference constants (ref: equiformer_v2_oc20.py:37-41)
+_AVG_NUM_NODES = 77.81317
+_AVG_DEGREE = 23.395238876342773
+
+# Atomic radii, raw picometers as the reference stores them
+# (ref: models/embeddings/atomic_radii.py; NaN entries -> 0).  The denoising
+# offset divides by 100 for Angstroms unless radii_pm_bug_compat replicates
+# the reference's discarded division.
+ATOMIC_RADII_PM = np.array([
+    0.0, 25.0, 120.0, 145.0, 105.0, 85.0, 70.0, 65.0, 60.0, 50.0, 160.0,
+    180.0, 150.0, 125.0, 110.0, 100.0, 100.0, 100.0, 71.0, 220.0, 180.0,
+    160.0, 140.0, 135.0, 140.0, 140.0, 140.0, 135.0, 135.0, 135.0, 135.0,
+    130.0, 125.0, 115.0, 115.0, 115.0, 0.0, 235.0, 200.0, 180.0, 155.0,
+    145.0, 145.0, 135.0, 130.0, 135.0, 140.0, 160.0, 155.0, 155.0, 145.0,
+    145.0, 140.0, 140.0, 0.0, 260.0, 215.0, 195.0, 185.0, 185.0, 185.0,
+    185.0, 185.0, 185.0, 180.0, 175.0, 175.0, 175.0, 175.0, 175.0, 175.0,
+    175.0, 155.0, 145.0, 135.0, 135.0, 130.0, 135.0, 135.0, 135.0, 150.0,
+    190.0, 180.0, 160.0, 190.0, 0.0, 0.0, 0.0, 215.0, 195.0, 180.0,
+    180.0, 175.0, 175.0, 175.0, 175.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
 ])
 
 
-class EquivariantLayerNorm(nn.Module):
-    """'layer_norm_sh': standard LN on l=0; per-l RMS norm with learned
-    channel scales on l>0 (ref: equiformer_v2/layer_norm.py:44-472)."""
+def _emb_uniform_init(key, shape, dtype=jnp.float32):
+    """U(-0.001, 0.001) atom-pair embedding init (ref: transformer_block.py
+    :110-113, input_block.py:66-69)."""
+    return jax.random.uniform(key, shape, dtype, minval=-0.001, maxval=0.001)
+
+
+def gaussian_smearing(dist: jnp.ndarray, cutoff: float, num: int = 600,
+                      width_scalar: float = 2.0) -> jnp.ndarray:
+    """ref: equiformer_v2_oc20.py GaussianSmearing(0, cutoff, 600, 2.0)."""
+    offsets = jnp.linspace(0.0, cutoff, num)
+    delta = cutoff / (num - 1)
+    coeff = -0.5 / (width_scalar * delta) ** 2
+    return jnp.exp(coeff * (dist[..., None] - offsets) ** 2)
+
+
+def smooth_leaky_relu(x: jnp.ndarray, alpha: float = 0.2) -> jnp.ndarray:
+    """ref: activation.py SmoothLeakyReLU."""
+    return ((1 + alpha) / 2) * x + ((1 - alpha) / 2) * x * (2 * jax.nn.sigmoid(x) - 1)
+
+
+class RadialFunction(nn.Module):
+    """Linear + LayerNorm + SiLU chain (ref: radial_function.py).
+
+    channels = [in, hidden..., out]; LN+SiLU after every layer but the last.
+    """
+
+    channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.channels) - 1
+        for i in range(n):
+            x = nn.Dense(self.channels[i + 1], name=f"dense_{i}")(x)
+            if i < n - 1:
+                x = nn.LayerNorm(name=f"ln_{i}")(x)
+                x = jax.nn.silu(x)
+        return x
+
+
+class EquivariantLayerNormSH(nn.Module):
+    """'layer_norm_sh' (ref: layer_norm.py
+    EquivariantLayerNormArraySphericalHarmonics :129-245): torch-LayerNorm on
+    l=0; ONE shared degree-balanced component norm over all l>0 with
+    per-(l, channel) affine weights."""
 
     lmax: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [..., (L)^2, C]
         c = x.shape[-1]
-        out = [nn.LayerNorm()(x[..., 0, :])[..., None, :]]
+        out0 = nn.LayerNorm(name="norm_l0")(x[..., 0, :])[..., None, :]
+        if self.lmax == 0:
+            return out0
+        rest = x[..., 1:, :]
+        # balance: mean over m within each l, then mean over l, then channels
+        w_bal = np.zeros((self.lmax + 1) ** 2 - 1, np.float32)
         for l in range(1, self.lmax + 1):
-            sl = x[..., l * l : (l + 1) * (l + 1), :]
-            rms = jnp.sqrt(jnp.mean(jnp.sum(sl**2, axis=-2), axis=-1, keepdims=True) + 1e-8)
-            w = self.param(f"w_l{l}", nn.initializers.ones, (c,))
-            out.append(sl / rms[..., None, :] * w)
-        return jnp.concatenate(out, axis=-2)
+            w_bal[l * l - 1 : (l + 1) * (l + 1) - 1] = 1.0 / (2 * l + 1)
+        w_bal = jnp.asarray(w_bal / self.lmax)
+        norm = jnp.einsum("...ic,i->...c", rest**2, w_bal)  # [..., C]
+        norm = jnp.mean(norm, axis=-1)[..., None, None]  # [..., 1, 1]
+        inv = (norm + 1e-5) ** -0.5
+        w = self.param("affine_weight", nn.initializers.ones, (self.lmax, c))
+        # expand per-l weights over the m axis
+        exp = jnp.asarray(l_expand_matrix(self.lmax)[1:, 1:], x.dtype)  # [(L)^2-1, L]
+        w_full = jnp.einsum("il,lc->ic", exp, w)
+        return jnp.concatenate([out0, rest * inv * w_full], axis=-2)
+
+
+class SO3Linear(nn.Module):
+    """Per-l linear with bias on l=0 (ref: so3.py SO3_LinearV2 :694-748).
+    weight [(L+1), C_out, C_in], applied over the full coefficient axis."""
+
+    c_in: int
+    c_out: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cdt = compute_dtype()
+        w = self.param(
+            "weight",
+            lambda k, s: jax.random.uniform(k, s, minval=-1, maxval=1) / math.sqrt(self.c_in),
+            (self.lmax + 1, self.c_out, self.c_in),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.c_out,))
+        exp = jnp.asarray(l_expand_matrix(self.lmax), x.dtype)  # [(L)^2, L+1]
+        if cdt is not None:
+            x, w = x.astype(cdt), w.astype(cdt)
+        w_full = jnp.einsum("il,loq->ioq", exp, w)  # [(L)^2, C_out, C_in]
+        y = jnp.einsum("...ic,ioc->...io", x, w_full)
+        y = y.at[..., 0, :].add(b.astype(y.dtype))
+        return y
 
 
 class _GroupLin(nn.Module):
     """Linear map over flattened (n, c) coefficient groups, applied WITHOUT
-    flattening the activation: the 2-D kernel (same shape nn.Dense would
-    store, so checkpoints are unchanged) is viewed 4-D and contracted with a
-    single multi-dim dot.  Flattening [E, n, C] activations to [E, n*C] and
-    back forces TPU relayout copies on every SO(2)-conv step — the dominant
-    cost of the EqV2 attention before this rewrite (docs/PERF.md)."""
+    flattening the activation: the 2-D kernel (exactly what the reference's
+    torch Linear stores, transposed) is viewed 4-D and contracted with one
+    multi-dim dot — flattening [E, n, C] to [E, n*C] forces TPU relayout
+    copies on every SO(2)-conv step (docs/PERF.md).
+
+    Column layout matches the reference fc_m0: ``extra`` invariant OUTPUT
+    channels occupy the FIRST columns (ref: so2_ops.py:180-194), then the
+    (n_out, c_out) main block.
+    """
 
     n_in: int
     c_in: int
     n_out: int
     c_out: int
-    extra: int = 0  # invariant features appended to the flattened input
+    extra_out: int = 0
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, extra_x: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         cdt = compute_dtype()
         nc_in = self.n_in * self.c_in
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (nc_in + self.extra, self.n_out * self.c_out)
-        )
-        kx = k[:nc_in].reshape(self.n_in, self.c_in, self.n_out, self.c_out)
+        n_cols = self.extra_out + self.n_out * self.c_out
+        k = self.param("kernel", nn.initializers.lecun_normal(), (nc_in, n_cols))
+        kx = k[:, self.extra_out :].reshape(self.n_in, self.c_in, self.n_out, self.c_out)
         if cdt is not None:
             x, kx = x.astype(cdt), kx.astype(cdt)
         y = jnp.einsum("...nc,ncmd->...md", x, kx)
-        if extra_x is not None:
-            ke = k[nc_in:].reshape(self.extra, self.n_out, self.c_out)
-            if cdt is not None:
-                extra_x, ke = extra_x.astype(cdt), ke.astype(cdt)
-            y = y + jnp.einsum("...x,xmd->...md", extra_x, ke)
+        extra = None
+        if self.extra_out:
+            ke = k[:, : self.extra_out].reshape(self.n_in, self.c_in, self.extra_out)
+            extra = jnp.einsum("...nc,nce->...e", x, ke.astype(x.dtype))
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.n_out * self.c_out,))
-            y = y + b.reshape(self.n_out, self.c_out).astype(y.dtype)
-        return y
-
-
-class _GateLin(nn.Module):
-    """rad [..., R] -> per-(coefficient, channel) gate [..., n, c], without the
-    [..., n*c] flatten (kernel/bias shapes match the nn.Dense it replaces)."""
-
-    n: int
-    c: int
-
-    @nn.compact
-    def __call__(self, rad: jnp.ndarray) -> jnp.ndarray:
-        cdt = compute_dtype()
-        k = self.param("kernel", nn.initializers.lecun_normal(), (rad.shape[-1], self.n * self.c))
-        b = self.param("bias", nn.initializers.zeros, (self.n * self.c,))
-        kr = k.reshape(rad.shape[-1], self.n, self.c)
-        if cdt is not None:
-            rad, kr = rad.astype(cdt), kr.astype(cdt)
-        return jnp.einsum("...r,rnc->...nc", rad, kr) + b.reshape(self.n, self.c).astype(
-            cdt or jnp.float32
-        )
+            b = self.param("bias", nn.initializers.zeros, (n_cols,))
+            y = y + b[self.extra_out :].reshape(self.n_out, self.c_out).astype(y.dtype)
+            if extra is not None:
+                extra = extra + b[: self.extra_out].astype(extra.dtype)
+        return (y, extra) if self.extra_out else y
 
 
 class SO2Conv(nn.Module):
-    """SO(2) convolution in the edge frame with complex weight structure and
-    radial gating (ref: so2_ops.py SO2_Convolution :78-238).
+    """SO(2) convolution in the edge frame (ref: so2_ops.py SO2_Convolution).
 
-    input [..., (L)^2, C_in] (edge frame, m-truncated), rad [..., R_e].
-    All per-m maps run layout-preserving (see :class:`_GroupLin`).
+    ``internal_weights=False`` adds the per-conv RadialFunction whose output
+    is sliced into per-m input gates (ref :158-227); ``extra_m0_out`` returns
+    the extra invariant outputs of fc_m0.  Input/output are FULL-axis
+    [..., (L)^2, C] with m > mmax masked.
     """
 
     lmax: int
     mmax: int
     c_in: int
     c_out: int
-    extra_m0_in: int = 0  # invariant features appended to the m=0 block
+    extra_m0_out: int = 0
+    internal_weights: bool = True
+    edge_channels: Tuple[int, ...] = ()  # rad_func hidden list (in, hidden...)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, rad: jnp.ndarray, extra_m0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x_edge: Optional[jnp.ndarray] = None):
         idx0, idx_pos, idx_neg, _ = m_index_tables(self.lmax, self.mmax)
         dim = (self.lmax + 1) ** 2
+        n0 = len(idx0)
 
-        def sel(idx):  # gather coefficient rows as a constant one-hot matmul
-            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), x.dtype)
-            return jnp.einsum("ni,...ic->...nc", s, x)
+        def sel(idx, a):
+            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), a.dtype)
+            return jnp.einsum("ni,...ic->...nc", s, a)
 
-        def put(idx, y):  # scatter back: S^T @ y
+        def put(idx, y):
             s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), y.dtype)
             return jnp.einsum("ni,...nc->...ic", s, y)
 
-        # m = 0: group-linear over (n_l0, C) + invariant extras
-        n0 = len(idx0)
-        x0 = sel(idx0) * _GateLin(n0, self.c_in, name="rad_m0")(rad)
-        extra = 0 if extra_m0 is None else extra_m0.shape[-1]
-        out = put(idx0, _GroupLin(n0, self.c_in, n0, self.c_out, extra=extra, name="fc_m0")(x0, extra_m0))
+        gates = None
+        if not self.internal_weights:
+            # one radial trunk; final width = total gate channels over the
+            # m-blocks in slice order [m=0, m=1, ...] (ref: so2_ops.py:158-227)
+            n_rad = n0 * self.c_in + sum(len(ip) * self.c_in for ip in idx_pos)
+            gates = RadialFunction(tuple(self.edge_channels) + (n_rad,), name="rad_func")(x_edge)
 
-        # m > 0: complex-structured pair weights
+        off = 0
+
+        def gate_slice(n):
+            nonlocal off
+            if gates is None:
+                return None
+            g = gates[..., off : off + n * self.c_in]
+            off += n * self.c_in
+            return g.reshape(g.shape[:-1] + (n, self.c_in))
+
+        x0 = sel(idx0, x)
+        g0 = gate_slice(n0)
+        if g0 is not None:
+            x0 = x0 * g0
+        lin0 = _GroupLin(n0, self.c_in, n0, self.c_out, extra_out=self.extra_m0_out, name="fc_m0")
+        if self.extra_m0_out:
+            y0, extra = lin0(x0)
+        else:
+            y0, extra = lin0(x0), None
+        out = put(idx0, y0)
+
         for mi, (ip, iq) in enumerate(zip(idx_pos, idx_neg)):
             nl = len(ip)
-            gate = _GateLin(nl, self.c_in, name=f"rad_m{mi + 1}")(rad)
-            xp = sel(ip) * gate
-            xn = sel(iq) * gate
+            xp = sel(ip, x)
+            xn = sel(iq, x)
+            g = gate_slice(nl)
+            if g is not None:
+                xp, xn = xp * g, xn * g
             wr = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r")
             wi = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i")
             out = out + put(ip, wr(xp) - wi(xn))
             out = out + put(iq, wi(xp) + wr(xn))
-        return out
+        return (out, extra) if self.extra_m0_out else out
 
 
-class GridFFN(nn.Module):
-    """S^2-grid MLP feed-forward (``use_grid_mlp``, ref: transformer_block.py
-    FeedForwardNetwork :373-532)."""
+class GridMLPFFN(nn.Module):
+    """FeedForwardNetwork, published branch: use_grid_mlp + use_sep_s2_act
+    (ref: transformer_block.py:373-532)."""
 
     lmax: int
+    c_in: int
     hidden: int
     c_out: int
     grid_res: int = 18
@@ -205,20 +316,23 @@ class GridFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cdt = compute_dtype()
+        scalars = jax.nn.silu(nn.Dense(self.hidden, name="scalar_mlp")(x[..., 0, :]))
+        y = SO3Linear(self.c_in, self.hidden, self.lmax, name="so3_linear_1")(x)
         to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
-        g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid), x)  # c = coeff axis
-        g = nn.Dense(self.hidden, dtype=cdt)(g)
+        g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid, y.dtype), y)
+        g = nn.Dense(self.hidden, use_bias=False, dtype=cdt, name="grid_mlp_0")(g)
         g = jax.nn.silu(g)
-        g = nn.Dense(self.hidden, dtype=cdt)(g)
+        g = nn.Dense(self.hidden, use_bias=False, dtype=cdt, name="grid_mlp_1")(g)
         g = jax.nn.silu(g)
-        g = nn.Dense(self.c_out, dtype=cdt)(g)
-        g = g.astype(x.dtype)
-        return jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid), g)
+        g = nn.Dense(self.hidden, use_bias=False, dtype=cdt, name="grid_mlp_2")(g)
+        y = jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid, g.dtype), g)
+        # separable: replace l=0 with the scalar branch (ref :500-510)
+        y = y.at[..., 0, :].set(scalars.astype(y.dtype))
+        return SO3Linear(self.hidden, self.c_out, self.lmax, name="so3_linear_2")(y)
 
 
 def _gather_nodes(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
-    """Row gather along the node axis without flattening trailing dims (a
-    minor-dim merge would force a TPU relayout copy of the whole tensor)."""
+    """Row gather along the node axis without flattening trailing dims."""
     b, n, k = src.shape
     idx = src.reshape((b, n * k) + (1,) * (a.ndim - 2))
     out = jnp.take_along_axis(a, idx, axis=1)
@@ -226,9 +340,8 @@ def _gather_nodes(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_nodes_mm(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
-    """One-hot MXU gather of float node features (the explicit gather HLO
-    lowers to a while-loop on TPU — profiled at multiple ms per call on the
-    [B,N,(L)^2,C] tensors; the batched one-hot matmul costs ~0.2 ms)."""
+    """One-hot MXU gather of float node features (explicit gather HLO lowers
+    to a while-loop on TPU — docs/PERF.md)."""
     b, n, k = src.shape
     onehot = (src.reshape(b, n * k, 1) == jnp.arange(n)[None, None, :]).astype(a.dtype)
     out = jnp.einsum("bem,bm...->be...", onehot, a)
@@ -236,10 +349,11 @@ def _gather_nodes_mm(a: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
 
 
 class SO2Attention(nn.Module):
-    """SO2EquivariantGraphAttention (ref: transformer_block.py:22-372).
-
-    Returns per-node aggregated irreps [B, N, (L)^2, c_out].
-    """
+    """SO2EquivariantGraphAttention, published wiring (ref:
+    transformer_block.py:22-372): per-block atom-pair edge scalars ->
+    SO2Conv(rad_func, extra m0 outs) -> [alpha | gating scalars] ->
+    SeparableS2Activation -> internal SO2Conv -> alpha-weighted heads ->
+    rotate back (+ m-truncation rescale) -> reduce -> SO3_LinearV2."""
 
     lmax: int
     mmax: int
@@ -249,59 +363,97 @@ class SO2Attention(nn.Module):
     attn_alpha: int
     attn_value: int
     c_out: int
+    max_num_elements: int
+    edge_channels: Tuple[int, ...]  # rad trunk: (n_gauss + 2*edge_ch, edge_ch, edge_ch)
+    grid_res: int = 18
     alpha_drop: float = 0.0
     training: bool = False
 
     @nn.compact
-    def __call__(self, x, nl, d_mats, d_mats_inv, rad, edge_inv):
+    def __call__(self, x, z, nl, d_mats, d_mats_inv, edge_gauss):
         _, _, _, mmask = m_index_tables(self.lmax, self.mmax)
         mmask = jnp.asarray(mmask)
+        rescale = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))
 
-        x_src = _gather_nodes_mm(x, nl.src)  # [B,N,K,(L)^2,C]
+        # per-block source/target embeddings on the edge scalars
+        # (ref: transformer_block.py:103-121, block_use_atom_edge_embedding)
+        emb_dim = self.edge_channels[-1]
+        emb_s = nn.Embed(
+            self.max_num_elements, emb_dim,
+            embedding_init=_emb_uniform_init,  # U(-0.001, 0.001), ref :108-112
+            name="source_embedding",
+        )(_gather_nodes(z, nl.src))
+        emb_t = nn.Embed(
+            self.max_num_elements, emb_dim,
+            embedding_init=_emb_uniform_init,
+            name="target_embedding",
+        )(z)[:, :, None, :]
+        x_edge = jnp.concatenate(
+            [edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1
+        )
+
+        # message = concat(source, target) channels (ref :258-276)
+        x_src = _gather_nodes_mm(x, nl.src)
         x_tgt = jnp.broadcast_to(x[:, :, None], x_src.shape)
-        msg = x_src + x_tgt
-        # rotate into edge frame + m-truncate
+        msg = jnp.concatenate([x_src, x_tgt], axis=-1)
         msg = jnp.einsum("bnkij,bnkjc->bnkic", d_mats, msg)
         msg = jnp.where(mmask[:, None], msg, 0.0)
 
-        h = SO2Conv(self.lmax, self.mmax, self.channels, self.attn_hidden, name="so2_conv_1")(
-            msg, rad, extra_m0=edge_inv
+        extra_ch = self.num_heads * self.attn_alpha + self.attn_hidden
+        h, x0_extra = SO2Conv(
+            self.lmax, self.mmax, 2 * self.channels, self.attn_hidden,
+            extra_m0_out=extra_ch, internal_weights=False,
+            edge_channels=self.edge_channels, name="so2_conv_1",
+        )(msg, x_edge)
+
+        x0_alpha = x0_extra[..., : self.num_heads * self.attn_alpha]
+        x0_gating = x0_extra[..., self.num_heads * self.attn_alpha :]
+
+        # SeparableS2Activation on the edge-frame message (ref activation.py
+        # :176-200): l=0 <- silu(gating scalars); l>0 <- S^2 grid silu with
+        # the m-truncated rescaled grid matrices (ref so3.py SO3_Grid)
+        to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
+        h_scaled = h * rescale[:, None]
+        g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid, h.dtype), h_scaled)
+        g = jax.nn.silu(g)
+        h_act = jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid, g.dtype), g)
+        h_act = h_act * rescale[:, None]
+        h_act = jnp.where(mmask[:, None], h_act, 0.0)
+        h = h_act.at[..., 0, :].set(jax.nn.silu(x0_gating).astype(h_act.dtype))
+
+        v = SO2Conv(
+            self.lmax, self.mmax, self.attn_hidden, self.num_heads * self.attn_value,
+            name="so2_conv_2",
+        )(h)
+
+        # alpha: LayerNorm + SmoothLeakyReLU + per-head dot (ref :340-351)
+        a = x0_alpha.reshape(x0_alpha.shape[:-1] + (self.num_heads, self.attn_alpha))
+        a = nn.LayerNorm(name="alpha_norm")(a)
+        a = smooth_leaky_relu(a)
+        w = self.param(
+            "alpha_dot",
+            lambda k, s: jax.random.uniform(k, s, minval=-1, maxval=1) / math.sqrt(self.attn_alpha),
+            (self.num_heads, self.attn_alpha),
         )
-        # separable attention: invariant l=0 part -> alpha logits per head
-        inv = h[..., 0, :]
-        alpha = nn.Dense(self.num_heads * self.attn_alpha, name="alpha_dense")(inv)
-        alpha = jax.nn.leaky_relu(alpha, 0.2)
-        alpha = alpha.reshape(alpha.shape[:-1] + (self.num_heads, self.attn_alpha))
-        w = self.param("alpha_dot", nn.initializers.normal(1.0), (self.num_heads, self.attn_alpha))
-        logits = jnp.sum(alpha * w, axis=-1)  # [B,N,K,H]
+        logits = jnp.einsum("...ha,ha->...h", a, w)
         logits = jnp.where(nl.mask[..., None], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=2)
         attn = jnp.where(nl.mask[..., None], attn, 0.0)
         if self.training and self.alpha_drop > 0.0:
-            # post-softmax attention dropout (ref: transformer_block.py:342-343)
             keep = 1.0 - self.alpha_drop
             dm = jax.random.bernoulli(self.make_rng("dropout"), keep, attn.shape)
             attn = attn * dm.astype(attn.dtype) / keep
 
-        # value path: gate-style activation then second SO(2) conv; the per-l
-        # gate expands to the coefficient axis with one constant matmul
-        # (repeat+concatenate chains lower to dynamic-update-slices on TPU)
-        gate = jax.nn.silu(nn.Dense((self.lmax + 1) * self.attn_hidden, name="gate_dense")(inv))
-        gate = gate.reshape(gate.shape[:-1] + (self.lmax + 1, self.attn_hidden))
-        expand = jnp.asarray(l_expand_matrix(self.lmax), gate.dtype)
-        h = h * jnp.einsum("cl,...lh->...ch", expand, gate)
-        v = SO2Conv(self.lmax, self.mmax, self.attn_hidden, self.num_heads * self.attn_value,
-                    name="so2_conv_2")(h, rad)
-        # rotate each edge's value back to the global frame, then do the
-        # attention-weighted sum over the K neighbors.  The per-head weights
-        # are expanded along the channel axis (value channels contiguous per
-        # head) so no [.., H, V] split of the minor dim is needed.
-        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_mats_inv, v)
+        # heads weighted (value channels contiguous per head), rotate back
+        # with the m-truncation rescale, reduce over neighbors
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
-        # broadcast-multiply + reduce over K: an einsum here would make the
-        # minor channel dim a dot batch dim and relayout the whole tensor
-        out = jnp.sum(v_rot * attn_c[..., None, :], axis=2)
-        return nn.Dense(self.c_out, use_bias=False, name="proj")(out)
+        v = v * attn_c[..., None, :]
+        v = jnp.where(mmask[:, None], v, 0.0)
+        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_mats_inv, v)
+        v_rot = v_rot * rescale[:, None]
+        v_rot = jnp.where(nl.mask[..., None, None], v_rot, 0.0)
+        out = jnp.sum(v_rot, axis=2)
+        return SO3Linear(self.num_heads * self.attn_value, self.c_out, self.lmax, name="proj")(out)
 
 
 @registry.register_model("equiformer_v2")
@@ -321,7 +473,7 @@ class EquiformerV2(nn.Module):
     mmax: int = 2
     grid_resolution: int = 18
     edge_channels: int = 128
-    num_distance_basis: int = 128
+    num_distance_basis: int = 600  # GaussianSmearing(0, cutoff, 600, 2.0)
     cutoff: float = 12.0
     max_neighbors: int = 20
     max_num_elements: int = 90
@@ -332,8 +484,10 @@ class EquiformerV2(nn.Module):
     energy_encoding: Optional[str] = None
     sampling: bool = False
     subtract_atomic_radii: bool = True  # denoising variant edge-distance offset
+    radii_pm_bug_compat: bool = False  # replicate ref: raw-pm radii subtraction
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
-    avg_degree: float = 20.0
+    avg_degree: float = _AVG_DEGREE
+    avg_num_nodes: float = _AVG_NUM_NODES
     alpha_drop: float = 0.0
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
@@ -342,9 +496,7 @@ class EquiformerV2(nn.Module):
     # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)
 
     def _branch_drop(self, y: jnp.ndarray) -> jnp.ndarray:
-        """Residual-branch regularization: per-graph stochastic depth then the
-        equivariant per-node channel dropout, in the reference's order
-        (ref: transformer_block.py:686-706)."""
+        """Residual-branch regularization (ref: transformer_block.py:686-706)."""
         if not self.training:
             return y
         if self.drop_path_rate > 0.0:
@@ -352,9 +504,6 @@ class EquiformerV2(nn.Module):
             m = jax.random.bernoulli(self.make_rng("dropout"), keep, (y.shape[0], 1, 1, 1))
             y = y * m.astype(y.dtype) / keep
         if self.proj_drop > 0.0:
-            # one mask per (node, channel), broadcast over the coefficient
-            # axis — dropping whole channels keeps the output equivariant
-            # (ref: drop.py EquivariantDropoutArraySphericalHarmonics :118-151)
             keep = 1.0 - self.proj_drop
             shape = (y.shape[0], y.shape[1], 1, y.shape[-1])
             m = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
@@ -375,78 +524,96 @@ class EquiformerV2(nn.Module):
         z = jnp.clip(batch.atomic_numbers, 0, self.max_num_elements - 1)
 
         if self.mode == "denoising" and self.subtract_atomic_radii:
-            # ref: equiformer_v2_denoising.py:208-213
-            radii = jnp.asarray(ATOMIC_RADII_A, jnp.float32)[z]
+            # ref: equiformer_v2_denoising.py:208-213.  NOTE the reference
+            # subtracts RAW picometer radii (its /100 result is discarded,
+            # :168-169); radii_pm_bug_compat replicates that for imports.
+            scale = 1.0 if self.radii_pm_bug_compat else 0.01
+            radii = jnp.asarray(ATOMIC_RADII_PM * scale, jnp.float32)[z]
             r_sum = radii[:, :, None] + _gather_nodes(radii, nl.src)
-            dist = jnp.maximum(dist - r_sum, 1e-3)
+            dist = dist - r_sum
+            if not self.radii_pm_bug_compat:
+                dist = jnp.maximum(dist, 1e-3)
 
         # edge frame rotations and Wigner-D blocks
         rot = edge_frame_rotation(unit)  # [B,N,K,3,3]
         d_mats = wigner_D_from_rot(self.lmax, rot)
         d_inv = jnp.swapaxes(d_mats, -1, -2)
 
-        # distance basis + atom-pair edge embedding (ref: eqv2_oc20.py:258-264)
-        rad_raw = gaussian_basis(dist, 0.0, self.cutoff, self.num_distance_basis)
-        emb_s = nn.Embed(self.max_num_elements, self.edge_channels, name="src_embed")(
-            _gather_nodes(z, nl.src)
-        )
-        emb_t = nn.Embed(self.max_num_elements, self.edge_channels, name="tgt_embed")(z)[:, :, None, :]
-        rad = nn.Dense(self.edge_channels, name="rad_proj")(rad_raw)
-        if self.use_atom_edge_embedding:
-            rad = rad + emb_s + jnp.broadcast_to(emb_t, emb_s.shape)
-        rad = jax.nn.silu(nn.Dense(self.edge_channels, name="rad_mlp")(rad))
-        rad = jnp.where(nl.mask[..., None], rad, 0.0)
-        edge_inv = rad  # invariant edge features fed to the m=0 block
+        # raw distance expansion shared by every block (ref :478; per-block
+        # atom embeddings live inside the blocks: share_atom_edge_embedding
+        # is False in the published config)
+        edge_gauss = gaussian_smearing(dist, self.cutoff, self.num_distance_basis)
+        edge_gauss = jnp.where(nl.mask[..., None], edge_gauss, 0.0)
+        rad_trunk = (self.num_distance_basis + 2 * self.edge_channels,
+                     self.edge_channels, self.edge_channels)
 
-        # initial node irreps: atom embedding on l=0 + edge-degree embedding
-        # (ref: input_block.py EdgeDegreeEmbedding :11-137)
+        # initial node irreps: atom embedding on l=0
         x = jnp.zeros(batch.pos.shape[:2] + (dim, self.sphere_channels))
-        x = x.at[..., 0, :].set(nn.Embed(self.max_num_elements, self.sphere_channels, name="sphere_embed")(z))
+        x = x.at[..., 0, :].set(
+            nn.Embed(self.max_num_elements, self.sphere_channels, name="sphere_embedding")(z)
+        )
         if self.energy_encoding == "scalar":
             e_cond = jnp.zeros_like(batch.energy) if self.sampling else batch.energy
             e_emb = nn.Dense(self.sphere_channels, name="energy_embedding")(e_cond[:, None])
             x = x.at[..., 0, :].add(e_emb[:, None, :])  # l=0 channel (ref: :258-264)
 
+        # edge-degree embedding (ref: input_block.py:11-137): own atom-pair
+        # embeddings + rad_func -> m=0 coefficients -> rotate out (+rescale)
         idx0, _, _, _ = m_index_tables(self.lmax, self.mmax)
-        deg = nn.Dense(len(idx0) * self.sphere_channels, name="edge_degree_dense")(rad)
+        rescale = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))
+        emb_dim = rad_trunk[-1]
+        emb_s = nn.Embed(self.max_num_elements, emb_dim,
+                         embedding_init=_emb_uniform_init,
+                         name="edge_degree_source_embedding")(_gather_nodes(z, nl.src))
+        emb_t = nn.Embed(self.max_num_elements, emb_dim,
+                         embedding_init=_emb_uniform_init,
+                         name="edge_degree_target_embedding")(z)[:, :, None, :]
+        x_edge0 = jnp.concatenate([edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1)
+        deg = RadialFunction(
+            rad_trunk + (len(idx0) * self.sphere_channels,), name="edge_degree_rad_func"
+        )(x_edge0)
         deg = deg.reshape(deg.shape[:-1] + (len(idx0), self.sphere_channels))
         s0 = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx0)), deg.dtype)
         deg_full = jnp.einsum("ni,...nc->...ic", s0, deg)
         deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv, deg_full)
+        deg_full = deg_full * rescale[:, None]
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree
 
         # transformer blocks (ref: TransBlockV2 :533-728)
         for i in range(self.num_layers):
-            y = EquivariantLayerNorm(self.lmax, name=f"norm_attn_{i}")(x)
+            y = EquivariantLayerNormSH(self.lmax, name=f"norm_attn_{i}")(x)
             y = SO2Attention(
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
-                self.sphere_channels, alpha_drop=self.alpha_drop,
+                self.sphere_channels, self.max_num_elements, rad_trunk,
+                grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
                 training=self.training, name=f"attn_{i}",
-            )(y, nl, d_mats, d_inv, rad, edge_inv)
+            )(y, z, nl, d_mats, d_inv, edge_gauss)
             x = x + self._branch_drop(y)
-            y = EquivariantLayerNorm(self.lmax, name=f"norm_ffn_{i}")(x)
-            y = GridFFN(self.lmax, self.ffn_hidden_channels, self.sphere_channels,
-                        self.grid_resolution, name=f"ffn_{i}")(y)
+            y = EquivariantLayerNormSH(self.lmax, name=f"norm_ffn_{i}")(x)
+            y = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
+                           self.sphere_channels, self.grid_resolution, name=f"ffn_{i}")(y)
             x = x + self._branch_drop(y)
             x = jnp.where(batch.atom_mask[..., None, None], x, 0.0)
 
-        x = EquivariantLayerNorm(self.lmax, name="norm_final")(x)
+        x = EquivariantLayerNormSH(self.lmax, name="norm_final")(x)
 
         def force_head(tag: str) -> jnp.ndarray:
             f = SO2Attention(
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
-                1, name=f"force_block{tag}",
-            )(x, nl, d_mats, d_inv, rad, edge_inv)
+                1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
+                name=f"force_block{tag}",
+            )(x, z, nl, d_mats, d_inv, edge_gauss)
             vec = l1_coeffs_to_vector(f[..., 1:4, 0])
             return jnp.where(batch.atom_mask[..., None], vec, 0.0)
 
         if self.mode == "s2ef":
-            e = GridFFN(self.lmax, self.ffn_hidden_channels, 1, self.grid_resolution, name="energy_ffn")(x)
+            e = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
+                           1, self.grid_resolution, name="energy_block")(x)
             e_atom = e[..., 0, 0]
-            energy = jnp.sum(jnp.where(batch.atom_mask, e_atom, 0.0), axis=1)
+            energy = jnp.sum(jnp.where(batch.atom_mask, e_atom, 0.0), axis=1) / self.avg_num_nodes
             return {"energy": energy, "forces": force_head("")}
 
         forces = force_head("")

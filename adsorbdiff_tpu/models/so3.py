@@ -257,6 +257,18 @@ def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int) -> Tuple[np.ndarr
     return to_grid.astype(np.float32), from_grid.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def m_trunc_rescale(lmax: int, mmax: int) -> np.ndarray:
+    """Per-coefficient rescale for m-truncated rotate_inv / S^2 grids
+    (ref: so3.py CoefficientMappingModule.get_rotate_inv_rescale :158-186 and
+    SO3_Grid :576-611): rows with l > mmax scale by sqrt((2l+1)/(2mmax+1)) to
+    compensate the dropped |m| > mmax components.  Returns [(lmax+1)^2]."""
+    scale = np.ones((lmax + 1) ** 2, np.float32)
+    for l in range(mmax + 1, lmax + 1):
+        scale[l * l : (l + 1) * (l + 1)] = math.sqrt((2 * l + 1) / (2 * mmax + 1))
+    return scale
+
+
 def l1_coeffs_to_vector(coeffs: jnp.ndarray) -> jnp.ndarray:
     """Real-SH l=1 coefficients (m=-1,0,1) -> cartesian vector.
 

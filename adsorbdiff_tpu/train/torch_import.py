@@ -354,6 +354,256 @@ def gemnet_state_dict_to_params(sd: Dict[str, np.ndarray], **map_kwargs) -> Dict
     return out
 
 
+# ---------------------------------------------------------------------------
+# EquiformerV2
+# ---------------------------------------------------------------------------
+def _load_basis_change(lmax: int) -> np.ndarray:
+    """P with Y_e3nn = P Y_ours (asset written by
+    scripts/gen_e3nn_basis_change.py; ref basis: equiformer_v2/wigner.py
+    Jd.pt).  D_ref(R) = P D_ours(R) P^T for every rotation."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "assets", "e3nn_basis_change.npz"
+    )
+    data = np.load(path)
+    asset_lmax = int(data["lmax"])
+    if lmax > asset_lmax:
+        raise ValueError(f"basis-change asset covers lmax<={asset_lmax}, need {lmax}")
+    dim = (lmax + 1) ** 2
+    return np.asarray(data["P"], np.float64)[:dim, :dim]
+
+
+def _eqv2_frame_change(lmax: int):
+    """M0 = P D_ours(Q_zy): maps OUR edge-frame coefficients to the
+    reference's (c_ref_frame = M0 c_ours_frame).  Q_zy rotates our frame axis
+    (z) onto theirs (y); the per-edge in-plane gauges cancel against the
+    SO(2)-equivariant structure.  Returns (sigma[l] m=0 signs,
+    B[l][m] 2x2 pair blocks)."""
+    from adsorbdiff_tpu.models.so3 import _rotation_matrix_to_D
+
+    P = _load_basis_change(lmax)
+    q_zy = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0]])  # z -> y
+    M0 = P @ _rotation_matrix_to_D(lmax, q_zy)
+
+    sigma = np.zeros(lmax + 1)
+    B: Dict[tuple, np.ndarray] = {}
+    mass = 0.0
+    for l in range(lmax + 1):
+        i0 = l * l + l
+        sigma[l] = M0[i0, i0]
+        assert abs(abs(sigma[l]) - 1) < 1e-6, (l, sigma[l])
+        for m in range(1, l + 1):
+            p, q = i0 + m, i0 - m
+            blk = M0[np.ix_([p, q], [p, q])]
+            assert abs(abs(np.linalg.det(blk)) - 1) < 1e-5, (l, m, blk)
+            B[(l, m)] = blk
+            mass += np.abs(M0[np.ix_([p, q], [p, q])]).sum()
+    # everything outside the (l, +-m) blocks must vanish (M0 intertwines the
+    # two SO(2) actions about the frame axis)
+    total = np.abs(M0).sum()
+    block_mass = np.abs(sigma).sum() + sum(np.abs(b).sum() for b in B.values())
+    assert abs(total - block_mass) < 1e-5 * max(total, 1.0), (total, block_mass)
+    return sigma, B
+
+
+def _conj_so2_fc(w_ref: np.ndarray, m: int, lmax: int, c_in: int, c_out: int,
+                 sigma, B) -> tuple:
+    """Conjugate a reference SO2_m_Convolution fc weight
+    [2*c_out*n, n*c_in] (rows [W_r; W_i], n-major) into our (wr, wi) kernels
+    [n*c_in, n*c_out]: K_ours = M0^T K_ref M0 blockwise."""
+    n = lmax - m + 1
+    half = c_out * n
+    wr = w_ref[:half].reshape(n, c_out, n, c_in)  # [lo, co, li, ci]
+    wi = w_ref[half:].reshape(n, c_out, n, c_in)
+    wr_new = np.zeros_like(wr)
+    wi_new = np.zeros_like(wi)
+    for lo in range(n):
+        Bo = B[(lo + m, m)]
+        for li in range(n):
+            Bi = B[(li + m, m)]
+            # K_ref = [[wr, -wi], [wi, wr]] (pair structure); K' = Bo^T K Bi
+            blks = {
+                (0, 0): wr[lo, :, li, :], (0, 1): -wi[lo, :, li, :],
+                (1, 0): wi[lo, :, li, :], (1, 1): wr[lo, :, li, :],
+            }
+            kp = {}
+            for a in range(2):
+                for b in range(2):
+                    acc = np.zeros_like(wr[lo, :, li, :])
+                    for g in range(2):
+                        for d in range(2):
+                            acc = acc + Bo[g, a] * blks[(g, d)] * Bi[d, b]
+                    kp[(a, b)] = acc
+            # the result must again have the complex-pair structure
+            if not (
+                np.allclose(kp[(0, 0)], kp[(1, 1)], atol=1e-5)
+                and np.allclose(kp[(0, 1)], -kp[(1, 0)], atol=1e-5)
+            ):
+                raise AssertionError(f"SO2 conjugation broke complex structure at m={m}")
+            wr_new[lo, :, li, :] = kp[(0, 0)]
+            wi_new[lo, :, li, :] = kp[(1, 0)]
+    # ours: _GroupLin kernel [n_in*c_in, n_out*c_out] = ref.T layout
+    wr_k = wr_new.reshape(half, n * c_in).T
+    wi_k = wi_new.reshape(half, n * c_in).T
+    return wr_k, wi_k
+
+
+def _conj_fc_m0(w_ref: np.ndarray, b_ref, lmax: int, c_in: int, c_out: int,
+                extra: int, sigma) -> tuple:
+    """fc_m0 [n0*c_out + extra, n0*c_in] -> our kernel [n0*c_in, extra +
+    n0*c_out] with sigma signs (extra output columns FIRST in both, ref:
+    so2_ops.py:180-194 narrow(0, extra))."""
+    n0 = lmax + 1
+    sig_in = np.repeat(sigma, c_in)  # [n0*c_in]
+    w = w_ref * sig_in[None, :]
+    kernel = np.zeros((n0 * c_in, extra + n0 * c_out), w.dtype)
+    kernel[:, :extra] = w[:extra].T
+    main = w[extra:] * np.repeat(sigma, c_out)[:, None]
+    kernel[:, extra:] = main.T
+    bias = None
+    if b_ref is not None:
+        bias = np.zeros(extra + n0 * c_out, b_ref.dtype)
+        bias[:extra] = b_ref[:extra]
+        bias[extra:] = b_ref[extra:] * np.repeat(sigma, c_out)
+    return kernel, bias
+
+
+def eqv2_state_dict_to_params(
+    sd: Dict[str, np.ndarray],
+    *,
+    lmax: int = 4,
+    mmax: int = 2,
+    num_layers: int = 8,
+    sphere_channels: int = 128,
+    attn_hidden_channels: int = 64,
+    num_heads: int = 8,
+    attn_alpha_channels: int = 64,
+    attn_value_channels: int = 16,
+) -> Dict[str, Any]:
+    """Map a reference EquiformerV2(-denoising) state_dict onto our flax
+    params (ref names: equiformer_v2_oc20.py / equiformer_v2_denoising.py).
+
+    Basis reconciliation: the shipped Jd.pt basis differs from ours by the
+    fixed block-diagonal P (assets/e3nn_basis_change.npz); all edge-frame
+    SO(2) weights are conjugated with M0 = P D_ours(Q_zy), the edge-degree
+    m=0 coefficients get the m=0 signs, and every global-frame op (SO3
+    linears, norms, grid MLPs, embeddings) copies unchanged because it
+    commutes with the per-l orthogonal basis change.
+    """
+    sd = _strip_prefixes(sd)
+    sigma, B = _eqv2_frame_change(lmax)
+    params: Dict[str, Any] = {}
+
+    def put(path: str, value):
+        node = params
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def lin(ref: str, ours: str):
+        put(ours + "/kernel", sd[ref + ".weight"].T)
+        if ref + ".bias" in sd:
+            put(ours + "/bias", sd[ref + ".bias"])
+
+    def layernorm(ref: str, ours: str):
+        put(ours + "/scale", sd[ref + ".weight"])
+        put(ours + "/bias", sd[ref + ".bias"])
+
+    def embed(ref: str, ours: str):
+        put(ours + "/embedding", sd[ref + ".weight"])
+
+    def rad_func(ref: str, ours: str, final_sigma: bool = False, c_last: int = 0):
+        """RadialFunction net: Linear, LN, SiLU, Linear, LN, SiLU, ..., Linear.
+        torch Sequential indices: dense at 0, 3, 6...; LN at 1, 4, ..."""
+        idxs = sorted(
+            int(k.split(".")[-2]) for k in sd
+            if k.startswith(f"{ref}.net.") and k.endswith(".weight") and sd[k].ndim == 2
+        )
+        for di, i in enumerate(idxs):
+            kern = sd[f"{ref}.net.{i}.weight"].T
+            bias = sd[f"{ref}.net.{i}.bias"]
+            if final_sigma and i == idxs[-1]:
+                scale = np.repeat(sigma, c_last)
+                kern = kern * scale[None, :]
+                bias = bias * scale
+            put(f"{ours}/dense_{di}/kernel", kern)
+            put(f"{ours}/dense_{di}/bias", bias)
+            if f"{ref}.net.{i + 1}.weight" in sd and sd[f"{ref}.net.{i + 1}.weight"].ndim == 1:
+                put(f"{ours}/ln_{di}/scale", sd[f"{ref}.net.{i + 1}.weight"])
+                put(f"{ours}/ln_{di}/bias", sd[f"{ref}.net.{i + 1}.bias"])
+
+    def so2_conv(ref: str, ours: str, c_in: int, c_out: int, extra: int,
+                 has_rad: bool):
+        w0 = sd[f"{ref}.fc_m0.weight"]
+        b0 = sd.get(f"{ref}.fc_m0.bias")
+        kernel, bias = _conj_fc_m0(w0, b0, lmax, c_in, c_out, extra, sigma)
+        put(f"{ours}/fc_m0/kernel", kernel)
+        if bias is not None:
+            put(f"{ours}/fc_m0/bias", bias)
+        for m in range(1, mmax + 1):
+            wr, wi = _conj_so2_fc(
+                sd[f"{ref}.so2_m_conv.{m - 1}.fc.weight"], m, lmax, c_in, c_out, sigma, B
+            )
+            put(f"{ours}/fc_m{m}_r/kernel", wr)
+            put(f"{ours}/fc_m{m}_i/kernel", wi)
+        if has_rad:
+            rad_func(f"{ref}.rad_func", f"{ours}/rad_func")
+
+    def so3_linear(ref: str, ours: str):
+        put(f"{ours}/weight", sd[f"{ref}.weight"])
+        put(f"{ours}/bias", sd[f"{ref}.bias"])
+
+    def norm_sh(ref: str, ours: str):
+        layernorm(f"{ref}.norm_l0", f"{ours}/norm_l0")
+        put(f"{ours}/affine_weight", sd[f"{ref}.affine_weight"])
+
+    def ffn(ref: str, ours: str):
+        lin(f"{ref}.scalar_mlp.0", f"{ours}/scalar_mlp")
+        so3_linear(f"{ref}.so3_linear_1", f"{ours}/so3_linear_1")
+        for j, t in enumerate((0, 2, 4)):
+            put(f"{ours}/grid_mlp_{j}/kernel", sd[f"{ref}.grid_mlp.{t}.weight"].T)
+        so3_linear(f"{ref}.so3_linear_2", f"{ours}/so3_linear_2")
+
+    def attention(ref: str, ours: str):
+        embed(f"{ref}.source_embedding", f"{ours}/source_embedding")
+        embed(f"{ref}.target_embedding", f"{ours}/target_embedding")
+        extra = num_heads * attn_alpha_channels + attn_hidden_channels
+        so2_conv(f"{ref}.so2_conv_1", f"{ours}/so2_conv_1",
+                 2 * sphere_channels, attn_hidden_channels, extra, has_rad=True)
+        layernorm(f"{ref}.alpha_norm", f"{ours}/alpha_norm")
+        put(f"{ours}/alpha_dot", sd[f"{ref}.alpha_dot"])
+        so2_conv(f"{ref}.so2_conv_2", f"{ours}/so2_conv_2",
+                 attn_hidden_channels, num_heads * attn_value_channels, 0, has_rad=False)
+        so3_linear(f"{ref}.proj", f"{ours}/proj")
+
+    embed("sphere_embedding", "sphere_embedding")
+    if "energy_embedding.weight" in sd:
+        lin("energy_embedding", "energy_embedding")
+    embed("edge_degree_embedding.source_embedding", "edge_degree_source_embedding")
+    embed("edge_degree_embedding.target_embedding", "edge_degree_target_embedding")
+    rad_func("edge_degree_embedding.rad_func", "edge_degree_rad_func",
+             final_sigma=True, c_last=sphere_channels)
+
+    for i in range(num_layers):
+        norm_sh(f"blocks.{i}.norm_1", f"norm_attn_{i}")
+        attention(f"blocks.{i}.ga", f"attn_{i}")
+        norm_sh(f"blocks.{i}.norm_2", f"norm_ffn_{i}")
+        ffn(f"blocks.{i}.ffn", f"ffn_{i}")
+
+    norm_sh("norm", "norm_final")
+    if "energy_block.so3_linear_1.weight" in sd:
+        ffn("energy_block", "energy_block")
+    attention("force_block", "force_block")
+    if "force_block2.so2_conv_1.fc_m0.weight" in sd:
+        attention("force_block2", "force_block2")
+
+    n = sum(1 for _ in _iter_leaves(params))
+    logging.info(f"imported {n} EquiformerV2 tensors from torch state_dict")
+    return {"params": params}
+
+
 def load_scale_file(path: str) -> Dict[str, float]:
     """Read a reference scale file (.pt via torch, or .json) into a flat
     {name: float} dict (ref: modules/scaling/compat.py load_scales_compat)."""

