@@ -604,6 +604,134 @@ def eqv2_state_dict_to_params(
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# whole-checkpoint conversion (the user-facing migration path)
+# ---------------------------------------------------------------------------
+def reference_model_config_to_ours(ref_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Translate a reference checkpoint's embedded model config (ref:
+    base_trainer.py:456-533 stores ``config`` in the .pt) into our model
+    kwargs.  Detects the family from the registry name / class path."""
+    cfg = dict(ref_cfg)
+    name = str(cfg.pop("name", "")).lower()
+    attrs = {k: v for k, v in cfg.items() if not k.startswith("_")}
+    if "painn" in name:
+        family = "painn"
+    elif "equiformer" in name or "eqv2" in name:
+        family = "equiformer_v2"
+    elif "gemnet" in name:
+        family = "gemnet_oc"
+    else:
+        raise ValueError(f"cannot detect model family from reference name '{name}'")
+
+    drop = {
+        "num_atoms", "bond_feat_dim", "num_targets", "use_pbc", "regress_forces",
+        "otf_graph", "direct_forces", "scale_file", "num_sphere_samples",
+        "distance_function", "attn_activation", "ffn_activation", "weight_init",
+        "use_s2_act_attn", "use_attn_renorm", "use_gate_act", "use_grid_mlp",
+        "use_sep_s2_act", "use_m_share_rad", "share_atom_edge_embedding",
+        "norm_type", "enforce_max_neighbors_strictly", "scale_backprop_forces",
+        "forces_coupled", "output_init", "activation", "num_distance_basis",
+        "rbf_spherical", "use_energy_lin_ref", "load_energy_lin_ref",
+        "avg_num_nodes", "avg_degree", "enforce_max_strictly",
+    }
+    out: Dict[str, Any] = {"name": family}
+    rename = {"max_radius": "cutoff", "FOR_denoising": "for_denoising"}
+    for k, v in attrs.items():
+        if k in drop:
+            continue
+        k = rename.get(k, k)
+        if k == "lmax_list":
+            out["lmax"] = int(v[0])
+        elif k == "mmax_list":
+            out["mmax"] = int(v[0])
+        elif k == "qint_tags":
+            out["qint_tags"] = tuple(int(t) for t in v)
+        else:
+            out[k] = v
+    if family == "equiformer_v2":
+        # the reference-denoising distance offset uses raw-pm radii (bug
+        # replicated for parity, see models/equiformer_v2.py docstring)
+        out.setdefault("radii_pm_bug_compat", True)
+        out.setdefault("grid_resolution", 18)
+    return out
+
+
+def convert_torch_checkpoint(torch_path: str, out_dir: str, name: str = "checkpoint",
+                             model_cfg_override: Optional[Dict[str, Any]] = None) -> str:
+    """Reference ``.pt`` checkpoint -> our orbax checkpoint + config sidecar.
+
+    Reads the torch file's embedded ``config`` (ref: base_trainer.py:625-684),
+    maps the state_dict through the family's importer, and writes a
+    ``TrainState`` our trainers / :class:`AdsorbDiffCalculator` load directly.
+    The EMA shadow is initialized from the raw weights (the reference stores
+    EMA as an ORDERED parameter list, not by name — documented divergence;
+    published checkpoints were saved after ``copy_to`` so state_dict already
+    carries the weights used for inference).
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adsorbdiff_tpu.train import checkpoint as ckpt_io
+    from adsorbdiff_tpu.train.trainer import TrainState
+
+    raw = torch.load(torch_path, map_location="cpu", weights_only=False)
+    sd = _strip_prefixes(raw.get("state_dict", raw))
+    ref_model_cfg = (raw.get("config") or {}).get("model_attributes") or (
+        (raw.get("config") or {}).get("model") if isinstance((raw.get("config") or {}).get("model"), dict) else {}
+    )
+    if isinstance((raw.get("config") or {}).get("model"), str):
+        ref_model_cfg = dict(ref_model_cfg or {}, name=(raw["config"]["model"]))
+    model_cfg = reference_model_config_to_ours(ref_model_cfg or {})
+    if model_cfg_override:
+        model_cfg.update(model_cfg_override)
+    family = model_cfg["name"]
+
+    if family == "painn":
+        variables = painn_state_dict_to_params(sd, num_layers=int(model_cfg.get("num_layers", 6)))
+    elif family == "gemnet_oc":
+        variables = gemnet_state_dict_to_params(
+            sd,
+            num_blocks=int(model_cfg.get("num_blocks", 4)),
+            num_atom=int(model_cfg.get("num_atom", 3)),
+            num_output_afteratom=int(model_cfg.get("num_output_afteratom", 3)),
+            num_before_skip=int(model_cfg.get("num_before_skip", 2)),
+            num_after_skip=int(model_cfg.get("num_after_skip", 2)),
+            num_concat=int(model_cfg.get("num_concat", 1)),
+            num_atom_emb_layers=int(model_cfg.get("num_atom_emb_layers", 2)),
+            num_global_out_layers=int(model_cfg.get("num_global_out_layers", 2)),
+            quad_interaction=bool(model_cfg.get("quad_interaction", True)),
+            atom_edge_interaction=bool(model_cfg.get("atom_edge_interaction", True)),
+            edge_atom_interaction=bool(model_cfg.get("edge_atom_interaction", True)),
+            atom_interaction=bool(model_cfg.get("atom_interaction", True)),
+        )
+    else:
+        variables = eqv2_state_dict_to_params(
+            sd,
+            lmax=int(model_cfg.get("lmax", 4)),
+            mmax=int(model_cfg.get("mmax", 2)),
+            num_layers=int(model_cfg.get("num_layers", 8)),
+            sphere_channels=int(model_cfg.get("sphere_channels", 128)),
+            attn_hidden_channels=int(model_cfg.get("attn_hidden_channels", 64)),
+            num_heads=int(model_cfg.get("num_heads", 8)),
+            attn_alpha_channels=int(model_cfg.get("attn_alpha_channels", 64)),
+            attn_value_channels=int(model_cfg.get("attn_value_channels", 16)),
+        )
+
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    tx = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        scale_factors=jax.tree.map(jnp.asarray, variables.get("scale_factors", {})),
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    return ckpt_io.save_checkpoint(out_dir, name, state, config={"model": model_cfg})
+
+
 def load_scale_file(path: str) -> Dict[str, float]:
     """Read a reference scale file (.pt via torch, or .json) into a flat
     {name: float} dict (ref: modules/scaling/compat.py load_scales_compat)."""

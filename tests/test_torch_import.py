@@ -501,3 +501,70 @@ def test_gemnet_scale_file_loading(tmp_path):
     assert float(coll["int_block_1_au_scale"]["scale"]) == 2.5
     assert float(coll["out_block_0_scale_rbf_F"]["scale"]) == 0.25
     assert "not.a.real.name" not in str(coll)
+
+
+def test_convert_torch_checkpoint_end_to_end(tmp_path, rng):
+    """The migration path: a reference-shaped .pt (embedded config, DDP
+    'module.' prefixes) converts to our orbax format, loads through the
+    calculator machinery, and matches the direct state_dict import."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_ref_painn import RefPaiNN
+
+    torch.manual_seed(0)
+    ref = RefPaiNN(h=32, num_layers=2, num_rbf=8, cutoff=6.0)
+    raw = {
+        "state_dict": {("module." + k): v for k, v in ref.state_dict().items()},
+        "config": {
+            "model": "experimental.adeesh.denoising.models.painn_denoising.PaiNN",
+            "model_attributes": dict(
+                hidden_channels=32, num_layers=2, num_rbf=8, max_radius=6.0,
+                max_neighbors=32, so3_denoising=True, use_pbc=True, otf_graph=True,
+            ),
+        },
+        "epoch": 3,
+    }
+    pt = str(tmp_path / "ref.pt")
+    torch.save(raw, pt)
+
+    from adsorbdiff_tpu.train.torch_import import convert_torch_checkpoint
+
+    out = convert_torch_checkpoint(
+        pt, str(tmp_path), name="painn_conv", model_cfg_override={"cell_reps": (1, 1, 0)}
+    )
+    assert os.path.exists(out + ".config.yaml")
+
+    from adsorbdiff_tpu.relaxation.calculator import _load_model_state
+
+    batch = _make_batch(rng)
+    model, state = _load_model_state(out, batch, sampling=False)
+    f1, _ = model.apply({"params": state.params, "scale_factors": state.scale_factors}, batch)
+
+    direct = painn_state_dict_to_params(ref.state_dict(), num_layers=2)
+    m2 = PaiNN(hidden_channels=32, num_layers=2, num_rbf=8, cutoff=6.0,
+               max_neighbors=32, cell_reps=(1, 1, 0), so3_denoising=True)
+    g1, _ = m2.apply(direct, batch)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(g1), atol=1e-6)
+
+
+def test_reference_model_config_translation():
+    from adsorbdiff_tpu.train.torch_import import reference_model_config_to_ours
+
+    eqv2 = reference_model_config_to_ours(dict(
+        name="...equiformer_v2_denoising.EquiformerV2S_OC20_DenoisingPos",
+        num_layers=8, sphere_channels=128, lmax_list=[4], mmax_list=[2],
+        max_radius=12.0, max_neighbors=20, use_pbc=True, regress_forces=True,
+        FOR_denoising=True, so3_denoising=True, use_grid_mlp=True,
+        norm_type="layer_norm_sh", alpha_drop=0.1,
+    ))
+    assert eqv2["name"] == "equiformer_v2"
+    assert eqv2["lmax"] == 4 and eqv2["mmax"] == 2
+    assert eqv2["cutoff"] == 12.0 and eqv2["for_denoising"] is True
+    assert eqv2["radii_pm_bug_compat"] is True
+    assert "use_grid_mlp" not in eqv2 and "norm_type" not in eqv2
+
+    gem = reference_model_config_to_ours(dict(
+        name="gemnet_oc", num_blocks=4, cutoff=12.0, qint_tags=[1, 2],
+        scale_file="x.pt", output_init="HeOrthogonal", activation="silu",
+    ))
+    assert gem["name"] == "gemnet_oc" and gem["qint_tags"] == (1, 2)
+    assert "scale_file" not in gem
