@@ -436,10 +436,11 @@ class GemNetOC(nn.Module):
             # quad mask, factorized: m1 over (k1,kq), m2 over (kq,k2)
             quad_m1 = emask[:, :, :, None] & qmask[:, :, None, :] & ~b_is_c  # [B,N,K1,Kq]
             quad_m2 = q_in_mask & ~d_is_a  # [B,N,Kq,K2]
-            # c == d exclusion does NOT factorize over (k1,kq)x(kq,k2); but for
-            # each (k1,kq) at most ONE k2 matches c (slots are unique (src,
-            # offset) pairs), so the excluded term is located by argmax and
-            # subtracted from the factorized sum inside the block loop.
+            # c == d exclusion does NOT factorize over (k1,kq)x(kq,k2) — but
+            # the dihedral Legendre tensor already carries all three axes, so
+            # the exclusion folds into it as a mask for free (profiled: the
+            # earlier argmax-gather-subtract formulation cost ~27% of the
+            # whole relaxation step in take_along_axis gathers + relayouts).
             # Condition: src[b,k2] == src[a,k1] and off_main[b,k2] + off_q[a,kq]
             # == off_main[a,k1] (all chains measured to the same target image).
             q_src_rows = _gather_rows(nl.src, nl_q.src)  # [B,N,Kq,K2]
@@ -452,14 +453,10 @@ class GemNetOC(nn.Module):
                     == 0,
                     axis=-1,
                 )
-            )  # [B,N,K1,Kq,K2] bool (bools are cheap; the float5-D never exists)
-            cd_k2 = jnp.argmax(cd_match, axis=-1).astype(jnp.int32)  # [B,N,K1,Kq]
-            cd_valid = jnp.any(cd_match, axis=-1)
-            # dihedral Legendre at the excluded slot, precomputed once
-            y_dih_full = legendre_y_l0(cos_dih, self.num_spherical)  # [B,N,K1,Kq,K2,S]
-            y_dih_star = jnp.take_along_axis(
-                y_dih_full, cd_k2[..., None, None], axis=4
-            )[..., 0, :]  # [B,N,K1,Kq,S]
+            )  # [B,N,K1,Kq,K2] bool
+            y_dih_full = jnp.where(
+                cd_match[..., None], 0.0, legendre_y_l0(cos_dih, self.num_spherical)
+            )  # [B,N,K1,Kq,K2,S], c == d quads excluded at the basis
             # fold m1 into the (cab x radW) factor, computed once for all blocks
             ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
             quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
@@ -562,7 +559,12 @@ class GemNetOC(nn.Module):
             bsz, n_atoms, k1 = nl.src.shape
 
             def swap_gather(x):
-                """x[rev(e)] for every table entry e (zero where absent)."""
+                """x[rev(e)] for every table entry e (zero where absent).
+
+                Measured alternative: an [E, E] one-hot MXU matmul permutation
+                costs the same ~4 ms/step its FLOPs save from the inefficient
+                XLA row gather (71 GF/step over the 12 swap sites) — the
+                gather stays for simplicity."""
                 flat = x.reshape(bsz, n_atoms * k1, x.shape[-1])
                 got = jnp.take_along_axis(flat, rev_flat.reshape(bsz, n_atoms * k1, 1), axis=1)
                 got = got.reshape(bsz, n_atoms, k1, x.shape[-1])
@@ -605,21 +607,12 @@ class GemNetOC(nn.Module):
                 cbf_gate = DenseLayer(self.emb_size_quad_in, activation=False, name=f"{name}_qint_cbf_gate")(cir_q)
                 x_db_t = ScaleFactor(name=f"{name}_qint_scale_cbf")(x_db_t * cbf_gate)
                 # factorized contraction (see the basis-stage comment): contract
-                # k2 against the dihedral Legendre, then (kq, j) against the
-                # m1-folded (cab x radW) factor — no [K1,Kq,K2,F] tensor exists
+                # k2 against the (c==d-masked) dihedral Legendre, then (kq, j)
+                # against the m1-folded (cab x radW) factor — no [K1,Kq,K2,F]
+                # tensor exists
                 y_dih = cdt_cast(y_dih_full)  # [B,N,K1,Kq,K2,S]
                 xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
                 d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", y_dih, xm)
-                # subtract the single c == d quad per (k1,kq) that the
-                # factorized mask cannot exclude (located in the basis stage)
-                xm_star = jnp.take_along_axis(
-                    xm[:, :, None], cd_k2[..., None, None], axis=4
-                )[..., 0, :]  # [B,N,K1,Kq,eq]
-                d2 = d2 - jnp.where(
-                    cd_valid[..., None, None],
-                    cdt_cast(y_dih_star)[..., :, None] * xm_star[..., None, :],
-                    0.0,
-                )
                 outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
                                         name=f"{name}_qint_bilinear")(outer=outer)

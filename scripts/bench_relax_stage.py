@@ -1,0 +1,66 @@
+"""Relaxation-stage benchmark + profile: published-size GemNet-OC under the
+batched L-BFGS scan (the production relax path, ref:
+configs/relaxation/gemnet_oc/gemnet_relax.yml).
+
+VERDICT round-2 item 5: find whether the bf16 compute-dtype scope reaches the
+dominant contractions, and either lift the stage or write the roofline
+argument.  Chained-dependency timing (see docs/PERF.md methodology).
+
+    BENCH_B=8 BENCH_STEPS=100 python scripts/bench_relax_stage.py
+    BENCH_TRACE=/tmp/relax_trace python scripts/bench_relax_stage.py  # + profiler
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.bench_models import example_batch
+
+
+def main() -> None:
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax, make_mlff_energy_forces
+
+    b = int(os.environ.get("BENCH_B", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    trace_dir = os.environ.get("BENCH_TRACE")
+    batch = example_batch(b)
+    print(f"devices: {jax.devices()}  B={b} steps={steps}")
+
+    for label, cd in (("relax f32", None), ("relax bf16", "bfloat16")):
+        model = GemNetOC(mode="s2ef", compute_dtype=cd)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+        ef = make_mlff_energy_forces(model, variables)
+        run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))
+        res = run(batch)
+        _ = jax.device_get(res.energy[0])  # warm + fence
+
+        def timed(reps):
+            bb = batch
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = run(bb)
+                bb = bb.replace(pos=bb.pos + jnp.mean(r.energy) * 1e-12)
+            _ = jax.device_get(r.energy[0])
+            return time.perf_counter() - t0
+
+        t1, t3 = timed(1), timed(3)
+        dt = (t3 - t1) / 2
+        sps = b * steps / dt
+        print(f"{label}: {dt:.2f} s per {steps}-step batch of {b} = "
+              f"{sps:.1f} system-steps/s ({dt / steps * 1000:.1f} ms/step)")
+
+        if trace_dir and cd is None:
+            with jax.profiler.trace(trace_dir):
+                r = run(batch)
+                _ = jax.device_get(r.energy[0])
+            print(f"trace written to {trace_dir}")
+
+
+if __name__ == "__main__":
+    main()
