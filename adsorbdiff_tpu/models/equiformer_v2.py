@@ -62,11 +62,11 @@ from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
 from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope
 from adsorbdiff_tpu.models.so3 import (
-    coeff_select_matrix,
     edge_frame_rotation,
     l1_coeffs_to_vector,
     l_expand_matrix,
-    m_index_tables,
+    m_primary_order,
+    m_primary_perm,
     m_trunc_rescale,
     s2_grid_matrices,
     wigner_D_from_rot,
@@ -209,19 +209,38 @@ class _GroupLin(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x):
+        """``x``: [..., n_in, c_in] — or a TUPLE of channel pieces summing to
+        c_in, contracted against matching kernel column slices without ever
+        concatenating (a linear map over concat(a, b) is W_a a + W_b b; the
+        attention passes the separately-rotated source/target message halves
+        this way, avoiding the [E, (L)^2, 2C] concat tensor in HBM)."""
         cdt = compute_dtype()
+        pieces = x if isinstance(x, tuple) else (x,)
+        assert sum(p.shape[-1] for p in pieces) == self.c_in
         nc_in = self.n_in * self.c_in
         n_cols = self.extra_out + self.n_out * self.c_out
         k = self.param("kernel", nn.initializers.lecun_normal(), (nc_in, n_cols))
         kx = k[:, self.extra_out :].reshape(self.n_in, self.c_in, self.n_out, self.c_out)
+        ke = (
+            k[:, : self.extra_out].reshape(self.n_in, self.c_in, self.extra_out)
+            if self.extra_out
+            else None
+        )
         if cdt is not None:
-            x, kx = x.astype(cdt), kx.astype(cdt)
-        y = jnp.einsum("...nc,ncmd->...md", x, kx)
-        extra = None
-        if self.extra_out:
-            ke = k[:, : self.extra_out].reshape(self.n_in, self.c_in, self.extra_out)
-            extra = jnp.einsum("...nc,nce->...e", x, ke.astype(x.dtype))
+            kx = kx.astype(cdt)
+            ke = ke.astype(cdt) if ke is not None else None
+        y = 0.0
+        extra = 0.0 if self.extra_out else None
+        off = 0
+        for p in pieces:
+            cw = p.shape[-1]
+            if cdt is not None:
+                p = p.astype(cdt)
+            y = y + jnp.einsum("...nc,ncmd->...md", p, kx[:, off : off + cw])
+            if ke is not None:
+                extra = extra + jnp.einsum("...nc,nce->...e", p, ke[:, off : off + cw].astype(p.dtype))
+            off += cw
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (n_cols,))
             y = y + b[self.extra_out :].reshape(self.n_out, self.c_out).astype(y.dtype)
@@ -249,23 +268,21 @@ class SO2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_edge: Optional[jnp.ndarray] = None):
-        idx0, idx_pos, idx_neg, _ = m_index_tables(self.lmax, self.mmax)
-        dim = (self.lmax + 1) ** 2
-        n0 = len(idx0)
-
-        def sel(idx, a):
-            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), a.dtype)
-            return jnp.einsum("ni,...ic->...nc", s, a)
-
-        def put(idx, y):
-            s = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx)), y.dtype)
-            return jnp.einsum("ni,...nc->...ic", s, y)
+        # x is in the TRUNCATED M-PRIMARY layout [..., n_active, C]: block
+        # ranges [m0 | +1 | -1 | +2 | -2 | ...] (so3.m_primary_order).  With
+        # the layout permutation baked into the per-edge Wigner matrices,
+        # every per-m access is a contiguous static slice — the previous
+        # one-hot select/scatter matmuls profiled at ~45% of the EqV2 forward
+        # (tiny [n<=5, 25] x [25, C] contractions at ~2% MXU utilization).
+        ranges = m_primary_order(self.lmax, self.mmax)[1]
+        n0 = ranges[0][1]
 
         gates = None
         if not self.internal_weights:
             # one radial trunk; final width = total gate channels over the
             # m-blocks in slice order [m=0, m=1, ...] (ref: so2_ops.py:158-227)
-            n_rad = n0 * self.c_in + sum(len(ip) * self.c_in for ip in idx_pos)
+            n_pos = [(b - a) for a, b in ranges[1::2]]
+            n_rad = n0 * self.c_in + sum(n_pos) * self.c_in
             gates = RadialFunction(tuple(self.edge_channels) + (n_rad,), name="rad_func")(x_edge)
 
         off = 0
@@ -278,28 +295,42 @@ class SO2Conv(nn.Module):
             off += n * self.c_in
             return g.reshape(g.shape[:-1] + (n, self.c_in))
 
-        x0 = sel(idx0, x)
-        g0 = gate_slice(n0)
-        if g0 is not None:
-            x0 = x0 * g0
+        x_pieces = x if isinstance(x, tuple) else (x,)
+        c_offs = []
+        off_c = 0
+        for p in x_pieces:
+            c_offs.append((off_c, off_c + p.shape[-1]))
+            off_c += p.shape[-1]
+
+        def block(a, b, g):
+            """Per-m coefficient slice of every channel piece, gated."""
+            out = []
+            for p, (ca, cb) in zip(x_pieces, c_offs):
+                sl = p[..., a:b, :]
+                if g is not None:
+                    sl = sl * g[..., ca:cb]
+                out.append(sl)
+            return tuple(out)
+
+        x0 = block(ranges[0][0], ranges[0][1], gate_slice(n0))
         lin0 = _GroupLin(n0, self.c_in, n0, self.c_out, extra_out=self.extra_m0_out, name="fc_m0")
         if self.extra_m0_out:
             y0, extra = lin0(x0)
         else:
             y0, extra = lin0(x0), None
-        out = put(idx0, y0)
+        pieces = [y0]
 
-        for mi, (ip, iq) in enumerate(zip(idx_pos, idx_neg)):
-            nl = len(ip)
-            xp = sel(ip, x)
-            xn = sel(iq, x)
+        for mi in range(self.mmax):
+            (pa, pb), (qa, qb) = ranges[1 + 2 * mi], ranges[2 + 2 * mi]
+            nl = pb - pa
             g = gate_slice(nl)
-            if g is not None:
-                xp, xn = xp * g, xn * g
+            xp = block(pa, pb, g)
+            xn = block(qa, qb, g)
             wr = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r")
             wi = _GroupLin(nl, self.c_in, nl, self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i")
-            out = out + put(ip, wr(xp) - wi(xn))
-            out = out + put(iq, wi(xp) + wr(xn))
+            pieces.append(wr(xp) - wi(xn))
+            pieces.append(wi(xp) + wr(xn))
+        out = jnp.concatenate(pieces, axis=-2)
         return (out, extra) if self.extra_m0_out else out
 
 
@@ -368,12 +399,20 @@ class SO2Attention(nn.Module):
     grid_res: int = 18
     alpha_drop: float = 0.0
     training: bool = False
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, z, nl, d_mats, d_mats_inv, edge_gauss):
-        _, _, _, mmask = m_index_tables(self.lmax, self.mmax)
-        mmask = jnp.asarray(mmask)
-        rescale = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))
+    def __call__(self, x, z, nl, d_m, d_inv_m, edge_gauss):
+        """``d_m`` [*, n_active, (L)^2]: Wigner rotation with the truncated
+        m-primary relayout baked in; ``d_inv_m`` its transpose (rotation back
+        from the truncated m-primary edge frame to the full l-primary global
+        frame)."""
+        order, ranges = m_primary_order(self.lmax, self.mmax)
+        n_active = ranges[-1][1]
+        rescale = jnp.asarray(
+            m_trunc_rescale(self.lmax, self.mmax)[order[:n_active]]
+        )  # m-primary rescale for the S^2 grids
+        rescale_out = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))  # l-primary
 
         # per-block source/target embeddings on the edge scalars
         # (ref: transformer_block.py:103-121, block_use_atom_edge_embedding)
@@ -392,12 +431,15 @@ class SO2Attention(nn.Module):
             [edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1
         )
 
-        # message = concat(source, target) channels (ref :258-276)
+        # message = concat(source, target) channels (ref :258-276), but the
+        # halves are rotated separately and never concatenated: the conv
+        # contracts each against its kernel column slice, so the [E, (L)^2,
+        # 2C] concat tensor (0.65 GB at published size) never exists, and the
+        # target half rotates straight from the node table (no K broadcast)
         x_src = _gather_nodes_mm(x, nl.src)
-        x_tgt = jnp.broadcast_to(x[:, :, None], x_src.shape)
-        msg = jnp.concatenate([x_src, x_tgt], axis=-1)
-        msg = jnp.einsum("bnkij,bnkjc->bnkic", d_mats, msg)
-        msg = jnp.where(mmask[:, None], msg, 0.0)
+        msg_s = jnp.einsum("bnkij,bnkjc->bnkic", d_m, x_src)
+        msg_t = jnp.einsum("bnkij,bnjc->bnkic", d_m, x)
+        msg = (msg_s, msg_t)
 
         extra_ch = self.num_heads * self.attn_alpha + self.attn_hidden
         h, x0_extra = SO2Conv(
@@ -411,14 +453,27 @@ class SO2Attention(nn.Module):
 
         # SeparableS2Activation on the edge-frame message (ref activation.py
         # :176-200): l=0 <- silu(gating scalars); l>0 <- S^2 grid silu with
-        # the m-truncated rescaled grid matrices (ref so3.py SO3_Grid)
+        # the m-truncated rescaled grid matrices (ref so3.py SO3_Grid);
+        # columns pre-permuted to the truncated m-primary layout
         to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
-        h_scaled = h * rescale[:, None]
-        g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid, h.dtype), h_scaled)
-        g = jax.nn.silu(g)
-        h_act = jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid, g.dtype), g)
-        h_act = h_act * rescale[:, None]
-        h_act = jnp.where(mmask[:, None], h_act, 0.0)
+        to_grid_m = to_grid[:, order[:n_active]]
+        from_grid_m = from_grid[order[:n_active], :]
+        if self.use_pallas:
+            # fused VMEM kernel: never materializes the [E, G, C] grid tensor
+            # in HBM (~0.5 GB per attention instance at published size);
+            # rescales fold into the static matrices
+            from adsorbdiff_tpu.ops.pallas_kernels import s2_grid_silu
+
+            to_eff = jnp.asarray(to_grid_m) * rescale[None, :]
+            from_eff = rescale[:, None] * jnp.asarray(from_grid_m)
+            h_act = s2_grid_silu(h, to_eff, from_eff)
+        else:
+            h_scaled = h * rescale[:, None]
+            g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid_m, h.dtype), h_scaled)
+            g = jax.nn.silu(g)
+            h_act = jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid_m, g.dtype), g)
+            h_act = h_act * rescale[:, None]
+        # row 0 is (l=0, m=0) in the m-primary layout
         h = h_act.at[..., 0, :].set(jax.nn.silu(x0_gating).astype(h_act.dtype))
 
         v = SO2Conv(
@@ -448,9 +503,8 @@ class SO2Attention(nn.Module):
         # with the m-truncation rescale, reduce over neighbors
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
         v = v * attn_c[..., None, :]
-        v = jnp.where(mmask[:, None], v, 0.0)
-        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_mats_inv, v)
-        v_rot = v_rot * rescale[:, None]
+        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_inv_m, v)  # -> l-primary
+        v_rot = v_rot * rescale_out[:, None]
         v_rot = jnp.where(nl.mask[..., None, None], v_rot, 0.0)
         out = jnp.sum(v_rot, axis=2)
         return SO3Linear(self.num_heads * self.attn_value, self.c_out, self.lmax, name="proj")(out)
@@ -492,6 +546,7 @@ class EquiformerV2(nn.Module):
     drop_path_rate: float = 0.0
     proj_drop: float = 0.0
     training: bool = False
+    use_pallas: bool = False  # fused S^2-activation kernel in the attention
     compute_dtype: Optional[str] = None  # "bfloat16": SO(2)-conv + grid-FFN
     # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)
 
@@ -534,10 +589,17 @@ class EquiformerV2(nn.Module):
             if not self.radii_pm_bug_compat:
                 dist = jnp.maximum(dist, 1e-3)
 
-        # edge frame rotations and Wigner-D blocks
+        # edge frame rotations and Wigner-D blocks, with the truncated
+        # m-primary relayout baked into the rotation (see SO2Conv): d_m maps
+        # global l-primary -> edge-frame m-primary (only the |m| <= mmax rows
+        # the SO(2) convs consume), d_inv_m is its transpose
         rot = edge_frame_rotation(unit)  # [B,N,K,3,3]
         d_mats = wigner_D_from_rot(self.lmax, rot)
-        d_inv = jnp.swapaxes(d_mats, -1, -2)
+        order, ranges = m_primary_order(self.lmax, self.mmax)
+        n_active = ranges[-1][1]
+        perm_t = jnp.asarray(m_primary_perm(self.lmax, self.mmax)[:n_active])
+        d_m = jnp.einsum("pi,bnkij->bnkpj", perm_t, d_mats)  # [B,N,K,n_act,(L)^2]
+        d_inv_m = jnp.swapaxes(d_m, -1, -2)
 
         # raw distance expansion shared by every block (ref :478; per-block
         # atom embeddings live inside the blocks: share_atom_edge_embedding
@@ -558,8 +620,9 @@ class EquiformerV2(nn.Module):
             x = x.at[..., 0, :].add(e_emb[:, None, :])  # l=0 channel (ref: :258-264)
 
         # edge-degree embedding (ref: input_block.py:11-137): own atom-pair
-        # embeddings + rad_func -> m=0 coefficients -> rotate out (+rescale)
-        idx0, _, _, _ = m_index_tables(self.lmax, self.mmax)
+        # embeddings + rad_func -> m=0 coefficients -> rotate out (+rescale);
+        # the m=0 block is the first n0 columns of d_inv_m
+        n0 = ranges[0][1]
         rescale = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))
         emb_dim = rad_trunk[-1]
         emb_s = nn.Embed(self.max_num_elements, emb_dim,
@@ -570,12 +633,10 @@ class EquiformerV2(nn.Module):
                          name="edge_degree_target_embedding")(z)[:, :, None, :]
         x_edge0 = jnp.concatenate([edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1)
         deg = RadialFunction(
-            rad_trunk + (len(idx0) * self.sphere_channels,), name="edge_degree_rad_func"
+            rad_trunk + (n0 * self.sphere_channels,), name="edge_degree_rad_func"
         )(x_edge0)
-        deg = deg.reshape(deg.shape[:-1] + (len(idx0), self.sphere_channels))
-        s0 = jnp.asarray(coeff_select_matrix(dim, tuple(int(i) for i in idx0)), deg.dtype)
-        deg_full = jnp.einsum("ni,...nc->...ic", s0, deg)
-        deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv, deg_full)
+        deg = deg.reshape(deg.shape[:-1] + (n0, self.sphere_channels))
+        deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv_m[..., :n0], deg)
         deg_full = deg_full * rescale[:, None]
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree
@@ -588,8 +649,8 @@ class EquiformerV2(nn.Module):
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 self.sphere_channels, self.max_num_elements, rad_trunk,
                 grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
-                training=self.training, name=f"attn_{i}",
-            )(y, z, nl, d_mats, d_inv, edge_gauss)
+                training=self.training, use_pallas=self.use_pallas, name=f"attn_{i}",
+            )(y, z, nl, d_m, d_inv_m, edge_gauss)
             x = x + self._branch_drop(y)
             y = EquivariantLayerNormSH(self.lmax, name=f"norm_ffn_{i}")(x)
             y = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
@@ -604,8 +665,8 @@ class EquiformerV2(nn.Module):
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
-                name=f"force_block{tag}",
-            )(x, z, nl, d_mats, d_inv, edge_gauss)
+                use_pallas=self.use_pallas, name=f"force_block{tag}",
+            )(x, z, nl, d_m, d_inv_m, edge_gauss)
             vec = l1_coeffs_to_vector(f[..., 1:4, 0])
             return jnp.where(batch.atom_mask[..., None], vec, 0.0)
 

@@ -258,6 +258,52 @@ def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int) -> Tuple[np.ndarr
 
 
 @functools.lru_cache(maxsize=8)
+def m_primary_order(lmax: int, mmax: int) -> Tuple[np.ndarray, tuple]:
+    """Row order for the m-primary coefficient layout and its block ranges.
+
+    Order: [m=0 block (l=0..lmax)], then for m=1..mmax [+m block (l=m..lmax),
+    -m block], then the (unused, |m|>mmax) coefficients.  This is the
+    reference's ``to_m`` relayout (ref: so3.py CoefficientMappingModule
+    :79-100) — with the permutation BAKED INTO the per-edge Wigner matrices,
+    SO(2) convs slice contiguous row ranges instead of doing per-m one-hot
+    select/scatter matmuls (profiled at ~45% of the EqV2 forward).
+
+    Returns (perm [dim] — perm[new_row] = old l-primary index, ranges: tuple
+    of (start, stop) per block in slice order m0, +1, -1, +2, -2, ...).
+    """
+    order = []
+    ranges = []
+    start = 0
+    idx0 = [l * l + l for l in range(lmax + 1)]
+    order += idx0
+    ranges.append((start, start + len(idx0)))
+    start += len(idx0)
+    for m in range(1, mmax + 1):
+        pos = [l * l + l + m for l in range(m, lmax + 1)]
+        neg = [l * l + l - m for l in range(m, lmax + 1)]
+        order += pos
+        ranges.append((start, start + len(pos)))
+        start += len(pos)
+        order += neg
+        ranges.append((start, start + len(neg)))
+        start += len(neg)
+    used = set(order)
+    tail = [i for i in range((lmax + 1) ** 2) if i not in used]
+    order += tail
+    return np.asarray(order, np.int64), tuple(ranges)
+
+
+@functools.lru_cache(maxsize=8)
+def m_primary_perm(lmax: int, mmax: int) -> np.ndarray:
+    """Permutation matrix P [dim, dim] with (P x)[new] = x[perm[new]]."""
+    order, _ = m_primary_order(lmax, mmax)
+    dim = (lmax + 1) ** 2
+    p = np.zeros((dim, dim), np.float32)
+    p[np.arange(dim), order] = 1.0
+    return p
+
+
+@functools.lru_cache(maxsize=8)
 def m_trunc_rescale(lmax: int, mmax: int) -> np.ndarray:
     """Per-coefficient rescale for m-truncated rotate_inv / S^2 grids
     (ref: so3.py CoefficientMappingModule.get_rotate_inv_rescale :158-186 and

@@ -802,3 +802,113 @@ def painn_message_consumer_tiled(
     dx = dx.reshape(m_pad, h)[:m_rows]
     dvec = dvec.reshape(m_pad, f3)[:m_rows]
     return dx, dvec.reshape(m_rows, 3, h)
+
+
+# ---------------------------------------------------------------------------
+# Fused S^2 grid activation for EquiformerV2 (round-3 queue item 1, stage 1)
+# ---------------------------------------------------------------------------
+def _s2_act_fwd_kernel(x_ref, to_ref, from_ref, o_ref):
+    """y = from_grid @ silu(to_grid @ x) computed entirely in VMEM.
+
+    x: [NC, TM] (coefficient rows x flattened (edge, channel) columns);
+    to_grid: [G, NC]; from_grid: [NC, G].  The XLA formulation materializes
+    the [E, G, C] grid tensor in HBM (~0.5 GB per attention instance at the
+    published size) — keeping it VMEM-resident removes that traffic entirely.
+    """
+    x = x_ref[...]
+    g = jnp.dot(to_ref[...], x, preferred_element_type=jnp.float32)
+    g = g * jax.nn.sigmoid(g)  # silu
+    o_ref[...] = jnp.dot(
+        from_ref[...], g.astype(from_ref.dtype), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _s2_act_bwd_kernel(x_ref, to_ref, from_ref, dy_ref, dx_ref):
+    """dx = to^T @ (silu'(g) * (from^T @ dy)), g recomputed in VMEM."""
+    x = x_ref[...]
+    g = jnp.dot(to_ref[...], x, preferred_element_type=jnp.float32)
+    s = jax.nn.sigmoid(g)
+    dsilu = s * (1.0 + g * (1.0 - s))
+    dg = jnp.dot(
+        from_ref[...].T, dy_ref[...], preferred_element_type=jnp.float32
+    )
+    dg = (dg * dsilu).astype(to_ref.dtype)
+    dx_ref[...] = jnp.dot(
+        to_ref[...].T, dg, preferred_element_type=jnp.float32
+    ).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _s2_act_vjp(x, to_grid, from_grid, tile_m, interpret):
+    return _s2_act_call(x, to_grid, from_grid, tile_m, interpret)
+
+
+def _s2_act_fwd(x, to_grid, from_grid, tile_m, interpret):
+    return _s2_act_call(x, to_grid, from_grid, tile_m, interpret), (x, to_grid, from_grid)
+
+
+def _s2_act_bwd(tile_m, interpret, res, dy):
+    x, to_grid, from_grid = res
+    nc_p, m = x.shape
+    g_dim = to_grid.shape[0]
+    dx = pl.pallas_call(
+        _s2_act_bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((nc_p, m), x.dtype),
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec((nc_p, tile_m), lambda i: (0, i)),
+            pl.BlockSpec((g_dim, nc_p), lambda i: (0, 0)),
+            pl.BlockSpec((nc_p, g_dim), lambda i: (0, 0)),
+            pl.BlockSpec((nc_p, tile_m), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((nc_p, tile_m), lambda i: (0, i)),
+        interpret=interpret,
+    )(x, to_grid, from_grid, dy)
+    # to/from matrices are static tables — no cotangent needed
+    return dx, None, None
+
+
+_s2_act_vjp.defvjp(_s2_act_fwd, _s2_act_bwd)
+
+
+def _s2_act_call(x, to_grid, from_grid, tile_m, interpret):
+    nc_p, m = x.shape
+    g_dim = to_grid.shape[0]
+    return pl.pallas_call(
+        _s2_act_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((nc_p, m), x.dtype),
+        grid=(m // tile_m,),
+        in_specs=[
+            pl.BlockSpec((nc_p, tile_m), lambda i: (0, i)),
+            pl.BlockSpec((g_dim, nc_p), lambda i: (0, 0)),
+            pl.BlockSpec((nc_p, g_dim), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nc_p, tile_m), lambda i: (0, i)),
+        interpret=interpret,
+    )(x, to_grid, from_grid)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def s2_grid_silu(h, to_grid_m, from_grid_m, tile_m: int = 512, interpret: bool = False):
+    """Fused ``from_grid @ silu(to_grid @ h)`` over the coefficient axis.
+
+    h: [..., NC, C] truncated-m-primary coefficients (any leading dims);
+    to_grid_m: [G, NC]; from_grid_m: [NC, G] (rescales pre-folded by the
+    caller).  Differentiable (custom VJP with in-kernel recompute);
+    ``interpret=True`` runs the kernel in pallas interpret mode (CI).
+    """
+    nc = h.shape[-2]
+    lead = h.shape[:-2]
+    c = h.shape[-1]
+    nc_p = _round_up(nc, 32)
+    # [.., NC, C] -> [NC, M]: coefficient rows become the matmul contraction
+    xt = jnp.moveaxis(h, -2, 0).reshape(nc, -1)
+    m_raw = xt.shape[1]
+    m_pad = _round_up(m_raw, tile_m)
+    xt = jnp.pad(xt, ((0, nc_p - nc), (0, m_pad - m_raw)))
+    g_dim = _round_up(to_grid_m.shape[0], 8)
+    to_p = jnp.pad(to_grid_m.astype(h.dtype), ((0, g_dim - to_grid_m.shape[0]), (0, nc_p - nc)))
+    from_p = jnp.pad(from_grid_m.astype(h.dtype), ((0, nc_p - nc), (0, g_dim - to_grid_m.shape[0])))
+    y = _s2_act_vjp(xt, to_p, from_p, tile_m, interpret)
+    y = y[:nc, :m_raw].reshape((nc,) + lead + (c,))
+    return jnp.moveaxis(y, 0, -2)

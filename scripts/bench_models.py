@@ -72,8 +72,11 @@ def main():
         from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
 
         kw = dict(mode="denoising", so3_denoising=True, for_denoising=True, cell_reps=(2, 2, 0))
-        v = EquiformerV2(**kw).init(jax.random.PRNGKey(0), batch)
-        for label, cd in (("eqv2 f32", None), ("eqv2 bf16", "bfloat16")):
+        if os.environ.get("BENCH_PALLAS"):
+            kw["use_pallas"] = True
+        v = EquiformerV2(**dict(kw, use_pallas=False)).init(jax.random.PRNGKey(0), batch)
+        tag = " pallas" if kw.get("use_pallas") else ""
+        for label, cd in ((f"eqv2{tag} f32", None), (f"eqv2{tag} bf16", "bfloat16")):
             timeit(EquiformerV2(**kw, compute_dtype=cd).apply, v, batch, label)
 
 

@@ -224,3 +224,65 @@ def test_fused_kernel_vjp_inside_train_like_step(rng):
     flat = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in flat)
+
+
+def test_s2_grid_silu_kernel_parity_and_grad():
+    """Fused S^2 activation (interpret mode): forward matches the XLA
+    formulation and the custom VJP matches autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from adsorbdiff_tpu.models.so3 import m_primary_order, m_trunc_rescale, s2_grid_matrices
+    from adsorbdiff_tpu.ops.pallas_kernels import s2_grid_silu
+
+    lmax, mmax, res, c = 4, 2, 18, 16
+    order, ranges = m_primary_order(lmax, mmax)
+    n_active = ranges[-1][1]
+    to_grid, from_grid = s2_grid_matrices(lmax, res, res)
+    rescale = m_trunc_rescale(lmax, mmax)[order[:n_active]]
+    to_m = jnp.asarray(to_grid[:, order[:n_active]] * rescale[None, :])
+    from_m = jnp.asarray(rescale[:, None] * from_grid[order[:n_active], :])
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(3, 5, n_active, c)), jnp.float32)
+
+    def ref(hh):
+        g = jnp.einsum("gc,...cf->...gf", to_m, hh)
+        return jnp.einsum("cg,...gf->...cf", from_m, jax.nn.silu(g))
+
+    got = s2_grid_silu(h, to_m, from_m, tile_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(h)), atol=1e-5, rtol=1e-5)
+
+    # gradient parity (custom VJP with in-kernel recompute)
+    w = jnp.asarray(rng.normal(size=got.shape), jnp.float32)
+    g_kernel = jax.grad(lambda hh: jnp.sum(s2_grid_silu(hh, to_m, from_m, tile_m=128, interpret=True) * w))(h)
+    g_ref = jax.grad(lambda hh: jnp.sum(ref(hh) * w))(h)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), atol=2e-5, rtol=2e-5)
+
+
+def test_eqv2_use_pallas_matches_xla():
+    """EqV2 forward with the fused S^2 kernel (interpret) == XLA path."""
+    import jax
+
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from tests.test_equiformer_v2 import TINY
+    from tests.test_painn import make_batch
+
+    batch = make_batch(np.random.default_rng(3))
+    m_x = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True)
+    v = m_x.init(jax.random.PRNGKey(0), batch)
+    f1_x, f2_x = m_x.apply(v, batch)
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    import functools as ft
+
+    orig = pk.s2_grid_silu
+    forced = ft.partial(orig, interpret=True)
+    pk.s2_grid_silu = forced
+    try:
+        m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, use_pallas=True)
+        f1_p, f2_p = m_p.apply(v, batch)
+    finally:
+        pk.s2_grid_silu = orig
+    np.testing.assert_allclose(np.asarray(f1_p), np.asarray(f1_x), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
