@@ -300,6 +300,8 @@ class GemNetOC(nn.Module):
     so3_denoising: bool = True
     energy_encoding: Optional[str] = None
     sampling: bool = False
+    use_pallas: bool = False  # fused quad dihedral-basis kernel (forward-only
+    # paths: relaxation + sampling; training keeps the XLA formulation)
     compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
     # bilinear / basis-embedding matmuls in bf16 (params + geometry stay f32)
 
@@ -363,15 +365,25 @@ class GemNetOC(nn.Module):
         # row and no gather is needed.  Only the identical edge is excluded
         # (k2 == k1); b == c in a different periodic image is a valid triplet.
         k1 = nl.src.shape[2]
-        cos_cab = _cos_clamped(unit[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca, V_ba>
         not_self = ~jnp.eye(k1, dtype=bool)[None, None]
         trip_mask_e2e = emask[:, :, :, None] & emask[:, :, None, :] & not_self
         # factorized triplet basis (same reordering as the quad interaction:
         # the bilinear's k-contraction runs against the S-component cbf
         # instead of a materialized [B,N,K1,K2,F] cir tensor)
-        cbf_e2e = cdt_cast(jnp.where(
-            trip_mask_e2e[..., None], legendre_y_l0(cos_cab, self.num_spherical), 0.0
-        ))  # [B,N,K1,K2,S], mask folded
+        if self.use_pallas:
+            from adsorbdiff_tpu.ops.pallas_kernels import gemnet_cbf_basis
+
+            cbf_e2e = gemnet_cbf_basis(
+                unit, unit, trip_mask_e2e, self.num_spherical,
+                out_dtype=compute_dtype() or jnp.float32,
+            )  # [B,N,S,K1,K2]
+            e2e_eq = "bnsuk,bnke->bnuse"
+        else:
+            cos_cab = _cos_clamped(unit[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca, V_ba>
+            cbf_e2e = cdt_cast(jnp.where(
+                trip_mask_e2e[..., None], legendre_y_l0(cos_cab, self.num_spherical), 0.0
+            ))  # [B,N,K1,K2,S], mask folded
+            e2e_eq = "bnuks,bnke->bnuse"
         radw_tint = BasisEmbedding(
             self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_tint"
         )(rad_main, radw_only=True)  # [B,N,K1,S,F] — radial part of the OUT edge d_ca
@@ -397,12 +409,6 @@ class GemNetOC(nn.Module):
             # n2 = q_in_unit x unit_q
             n1 = jnp.cross(unit[:, :, :, None, :], unit_q[:, :, None, :, :])  # [B,N,K1,Kq,3]
             n2 = jnp.cross(q_in_unit, unit_q[:, :, :, None, :])  # [B,N,Kq,K2,3]
-            n1 = n1[:, :, :, :, None, :]  # [B,N,K1,Kq,1,3]
-            n2 = n2[:, :, None, :, :, :]  # [B,N,1,Kq,K2,3]
-            cos_dih = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(
-                jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), eps
-            )
-            cos_dih = jnp.clip(cos_dih, -1.0, 1.0)  # [B,N,K1,Kq,K2]
             # The quad spherical basis factorizes: sbf[(i,j)] = Ya_i(cab) *
             # Yd_j(dihedral), and the quad mask factorizes as m1(k1,kq) *
             # m2(kq,k2) — so the (basis-embed x message) contraction reorders
@@ -454,9 +460,27 @@ class GemNetOC(nn.Module):
                     axis=-1,
                 )
             )  # [B,N,K1,Kq,K2] bool
-            y_dih_full = jnp.where(
-                cd_match[..., None], 0.0, legendre_y_l0(cos_dih, self.num_spherical)
-            )  # [B,N,K1,Kq,K2,S], c == d quads excluded at the basis
+            if self.use_pallas:
+                # fused VMEM kernel: cross-normalize -> cos -> Legendre ->
+                # c==d mask; the [B,N,K1,Kq,K2,{3,1,S}] broadcast transients
+                # never reach HBM (forward-only paths)
+                from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_basis
+
+                y_dih_pl = gemnet_quad_basis(
+                    n1, n2, ~cd_match, self.num_spherical,
+                    out_dtype=compute_dtype() or jnp.float32,
+                )  # [B,N,S,Kq,K1,K2]
+                y_dih_full = None
+            else:
+                n1e = n1[:, :, :, :, None, :]  # [B,N,K1,Kq,1,3]
+                n2e = n2[:, :, None, :, :, :]  # [B,N,1,Kq,K2,3]
+                cos_dih = jnp.sum(n1e * n2e, axis=-1) / jnp.maximum(
+                    jnp.linalg.norm(n1e, axis=-1) * jnp.linalg.norm(n2e, axis=-1), eps
+                )
+                cos_dih = jnp.clip(cos_dih, -1.0, 1.0)  # [B,N,K1,Kq,K2]
+                y_dih_full = jnp.where(
+                    cd_match[..., None], 0.0, legendre_y_l0(cos_dih, self.num_spherical)
+                )  # [B,N,K1,Kq,K2,S], c == d quads excluded at the basis
             # fold m1 into the (cab x radW) factor, computed once for all blocks
             ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
             quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
@@ -470,11 +494,21 @@ class GemNetOC(nn.Module):
             nl.src[:, :, :, None], nl.cell_offsets[:, :, :, None, :],
         )  # [B,N,K1,Kae]: same periodic source atom across the two tables
         if self.atom_edge_interaction:
-            cos_a2e = _cos_clamped(unit[:, :, :, None, :], unit_ae[:, :, None, :, :])  # <V_ca, V_ba>
             trip_mask_a2e = emask[:, :, :, None] & nl_ae.mask[:, :, None, :] & ~same_ae
-            cbf_a2e = cdt_cast(jnp.where(
-                trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
-            ))  # [B,N,K1,Kae,S], mask folded (factorized, see e2e)
+            if self.use_pallas:
+                from adsorbdiff_tpu.ops.pallas_kernels import gemnet_cbf_basis
+
+                cbf_a2e = gemnet_cbf_basis(
+                    unit, unit_ae, trip_mask_a2e, self.num_spherical,
+                    out_dtype=compute_dtype() or jnp.float32,
+                )  # [B,N,S,K1,Kae]
+                a2e_eq = "bnsuk,bnke->bnuse"
+            else:
+                cos_a2e = _cos_clamped(unit[:, :, :, None, :], unit_ae[:, :, None, :, :])  # <V_ca, V_ba>
+                cbf_a2e = cdt_cast(jnp.where(
+                    trip_mask_a2e[..., None], legendre_y_l0(cos_a2e, self.num_spherical), 0.0
+                ))  # [B,N,K1,Kae,S], mask folded (factorized, see e2e)
+                a2e_eq = "bnuks,bnke->bnuse"
             radw_aeint = BasisEmbedding(
                 self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_aeint"
             )(rad_main, radw_only=True)  # [B,N,K1,S,F] — radial of the main OUT edge
@@ -583,7 +617,7 @@ class GemNetOC(nn.Module):
             )
             x_ba = DenseLayer(self.emb_size_trip_in, name=f"{name}_tint_down")(x_ba)
             # in-edges b->a are the other slots of the SAME row a — no gather
-            d_t = jnp.einsum("bnuks,bnke->bnuse", cbf_e2e, x_ba)
+            d_t = jnp.einsum(e2e_eq, cbf_e2e, x_ba)
             outer_t = jnp.einsum("bnusf,bnuse->bnufe", radw_tint.astype(d_t.dtype), d_t)
             x_t = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                     name=f"{name}_tint_bilinear")(outer=outer_t)
@@ -610,9 +644,11 @@ class GemNetOC(nn.Module):
                 # k2 against the (c==d-masked) dihedral Legendre, then (kq, j)
                 # against the m1-folded (cab x radW) factor — no [K1,Kq,K2,F]
                 # tensor exists
-                y_dih = cdt_cast(y_dih_full)  # [B,N,K1,Kq,K2,S]
                 xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
-                d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", y_dih, xm)
+                if self.use_pallas:
+                    d2 = jnp.einsum("bnjquk,bnqke->bnuqje", y_dih_pl, xm)
+                else:
+                    d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", cdt_cast(y_dih_full), xm)
                 outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
                                         name=f"{name}_qint_bilinear")(outer=outer)
@@ -634,7 +670,7 @@ class GemNetOC(nn.Module):
                 )
                 x_h = DenseLayer(self.emb_size_trip_in, name=f"{name}_aeint_down")(x_h)
                 # in-edges (a2ee2a b->a) are slots of the same row a — no gather
-                d_ae = jnp.einsum("bnuks,bnke->bnuse", cbf_a2e, x_h)
+                d_ae = jnp.einsum(a2e_eq, cbf_a2e, x_h)
                 outer_ae = jnp.einsum("bnusf,bnuse->bnufe", radw_aeint.astype(d_ae.dtype), d_ae)
                 x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                          name=f"{name}_aeint_bilinear")(outer=outer_ae)

@@ -912,3 +912,116 @@ def s2_grid_silu(h, to_grid_m, from_grid_m, tile_m: int = 512, interpret: bool =
     y = _s2_act_vjp(xt, to_p, from_p, tile_m, interpret)
     y = y[:nc, :m_raw].reshape((nc,) + lead + (c,))
     return jnp.moveaxis(y, 0, -2)
+
+
+# ---------------------------------------------------------------------------
+# GemNet-OC fused masked-Legendre bases (relaxation-stage hot path)
+# ---------------------------------------------------------------------------
+def _legendre_cos_kernel(a_ref, bt_ref, keep_ref, o_ref, *, num_spherical, cells):
+    """out[l] = sqrt((2l+1)/4pi) * P_l(clip(a @ bt)) * keep, all in VMEM.
+
+    The XLA formulation of GemNet-OC's triplet/quad circular bases
+    materializes the [*, M, K, {3,1,S}] broadcast transients and Legendre
+    stacks in HBM; here only the final masked basis leaves VMEM, and the
+    pairwise cos is ONE [M, C] @ [C, K] MXU dot per cell (the quad wrapper
+    block-diagonalizes its per-qint-slot vectors into C = 3*Kq so its 8
+    per-q dots also collapse into one).
+
+    a_ref: [cells, M, C]; bt_ref: [cells, C, K]; keep_ref: [cells, M, K]
+    (1.0 = valid); o_ref: [cells, S, M, K].
+    """
+    for c in range(cells):
+        cos = jnp.dot(a_ref[c], bt_ref[c], preferred_element_type=jnp.float32)
+        cos = jnp.clip(cos, -1.0, 1.0)
+        m = keep_ref[c]
+        ps = [jnp.ones_like(cos), cos]
+        for l in range(2, num_spherical):
+            ps.append(((2 * l - 1) * cos * ps[l - 1] - (l - 1) * ps[l - 2]) / l)
+        for l in range(num_spherical):
+            cl = math.sqrt((2 * l + 1) / (4 * math.pi))
+            o_ref[c, l] = (cl * ps[l] * m).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_spherical", "out_dtype", "cells", "interpret")
+)
+def masked_legendre_cos(
+    a, bt, keep, num_spherical: int, out_dtype=jnp.float32, cells: int = 1,
+    interpret: bool = False,
+):
+    """y[g, l, m, k] = c_l * P_l(clip(<a[g,m,:], bt[g,:,k]>, -1, 1)) * keep[g,m,k].
+
+    Generic fused basis builder behind :func:`gemnet_cbf_basis` /
+    :func:`gemnet_quad_basis` (ref math: Y_l^0 via get_sph_harm_basis
+    zero_m_only, reference layers/basis_utils.py).  a: [G, M, C];
+    bt: [G, C, K]; keep: [G, M, K].  Forward-only — relaxation + sampling
+    consume it; training keeps the XLA formulation.
+    """
+    g, m_dim, c_dim = a.shape
+    k_dim = bt.shape[2]
+    while g % cells:
+        cells //= 2
+    s = num_spherical
+    y = pl.pallas_call(
+        functools.partial(_legendre_cos_kernel, num_spherical=s, cells=cells),
+        out_shape=jax.ShapeDtypeStruct((g, s, m_dim, k_dim), out_dtype),
+        grid=(g // cells,),
+        in_specs=[
+            pl.BlockSpec((cells, m_dim, c_dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, c_dim, k_dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, m_dim, k_dim), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((cells, s, m_dim, k_dim), lambda i: (i, 0, 0, 0)),
+        interpret=interpret,
+    )(a, bt, keep.astype(jnp.float32))
+    return y
+
+
+def gemnet_cbf_basis(u, v, keep, num_spherical: int, out_dtype=jnp.float32,
+                     interpret: bool = False):
+    """Masked circular basis over pairwise angles of (already unit) vectors.
+
+    u: [B, N, M, 3]; v: [B, N, K, 3]; keep: [B, N, M, K] ->
+    y: [B, N, S, M, K] (zero rows of u/v — padded edges — give cos = 0,
+    matching the XLA `_cos_clamped` guard for unit inputs).
+    """
+    b, n, m_dim, _ = u.shape
+    k_dim = v.shape[2]
+    bn = b * n
+    vt = jnp.moveaxis(v.reshape(bn, k_dim, 3), -1, -2)  # [BN, 3, K]
+    y = masked_legendre_cos(
+        u.reshape(bn, m_dim, 3), vt, keep.reshape(bn, m_dim, k_dim),
+        num_spherical, out_dtype=out_dtype, interpret=interpret,
+    )
+    return y.reshape(b, n, num_spherical, m_dim, k_dim)
+
+
+def gemnet_quad_basis(n1, n2, keep, num_spherical: int, out_dtype=jnp.float32,
+                      interpret: bool = False):
+    """Masked dihedral Legendre basis for the GemNet-OC quad interaction.
+
+    y[b, n, q, l, u, k] = c_l * P_l(clip(<n1h[u,q], n2h[q,k]>, -1, 1))
+                          * keep[u, q, k]
+
+    with n1h/n2h the eps-guarded normalizations of the cross products
+    (ref math: calculate_quad_angles, reference gemnet_oc/utils.py dihedral
+    path; dense form in models/gemnet_oc.py).  n1: [B,N,K1,Kq,3];
+    n2: [B,N,Kq,K2,3]; keep: [B,N,K1,Kq,K2].  The per-q vector pairs are
+    block-diagonalized over C = 3*Kq so the whole cell's cos table is one
+    MXU dot (8 tiny per-q dots measured 2x slower).
+    """
+    b, n, k1, kq, _ = n1.shape
+    k2 = n2.shape[3]
+    bn = b * n
+    eps = 1e-9
+    n1h = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), eps)
+    n2h = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), eps)
+    # block-diagonal packing: a[bn, (q,u), (q',c)] = n1h[q,u,c] * (q == q')
+    eye = jnp.eye(kq, dtype=n1.dtype)
+    a = jnp.einsum("bnuqc,qp->bnqupc", n1h, eye).reshape(bn, kq * k1, kq * 3)
+    bt = jnp.moveaxis(n2h, -1, -2).reshape(bn, kq * 3, k2)  # [BN, (q,c), K2]
+    keep_r = jnp.moveaxis(keep, 2, 3).reshape(bn, kq * k1, k2)  # rows (q,u)
+    y = masked_legendre_cos(
+        a, bt, keep_r, num_spherical, out_dtype=out_dtype, interpret=interpret
+    )
+    return y.reshape(b, n, num_spherical, kq, k1, k2)

@@ -66,7 +66,10 @@ def main():
 
         kw = dict(mode="s2ef", cell_reps=(2, 2, 0))
         v = GemNetOC(**kw).init(jax.random.PRNGKey(0), batch)
-        for label, cd in (("gemnet-oc f32", None), ("gemnet-oc bf16", "bfloat16")):
+        if os.environ.get("BENCH_PALLAS"):
+            kw["use_pallas"] = True
+        tag = " pallas" if kw.get("use_pallas") else ""
+        for label, cd in ((f"gemnet-oc{tag} f32", None), (f"gemnet-oc{tag} bf16", "bfloat16")):
             timeit(GemNetOC(**kw, compute_dtype=cd).apply, v, batch, label)
     else:
         from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2

@@ -32,8 +32,10 @@ def main() -> None:
     batch = example_batch(b)
     print(f"devices: {jax.devices()}  B={b} steps={steps}")
 
-    for label, cd in (("relax f32", None), ("relax bf16", "bfloat16")):
-        model = GemNetOC(mode="s2ef", compute_dtype=cd)
+    use_pallas = bool(os.environ.get("BENCH_PALLAS"))
+    tag = " pallas" if use_pallas else ""
+    for label, cd in ((f"relax{tag} f32", None), (f"relax{tag} bf16", "bfloat16")):
+        model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
         ef = make_mlff_energy_forces(model, variables)
         run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))

@@ -286,3 +286,63 @@ def test_eqv2_use_pallas_matches_xla():
         pk.s2_grid_silu = orig
     np.testing.assert_allclose(np.asarray(f1_p), np.asarray(f1_x), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
+
+
+def test_gemnet_quad_basis_kernel_parity():
+    """Fused quad dihedral basis (interpret): matches the XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from adsorbdiff_tpu.models.gemnet_oc import legendre_y_l0
+    from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_basis
+
+    rng = np.random.default_rng(0)
+    b, n, k1, kq, k2, s = 2, 4, 6, 3, 6, 7
+    n1 = jnp.asarray(rng.normal(size=(b, n, k1, kq, 3)), jnp.float32)
+    n2 = jnp.asarray(rng.normal(size=(b, n, kq, k2, 3)), jnp.float32)
+    # a few exact-zero rows: masked/padded edges produce zero cross products
+    n1 = n1.at[0, 0, 0].set(0.0)
+    n2 = n2.at[1, 2, 1, 3].set(0.0)
+    keep = jnp.asarray(rng.random((b, n, k1, kq, k2)) > 0.3)
+
+    got = gemnet_quad_basis(n1, n2, keep, s, interpret=True)
+
+    eps = 1e-9
+    n1e = n1[:, :, :, :, None, :]
+    n2e = n2[:, :, None, :, :, :]
+    cos = jnp.sum(n1e * n2e, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(n1e, axis=-1) * jnp.linalg.norm(n2e, axis=-1), eps
+    )
+    cos = jnp.clip(cos, -1.0, 1.0)
+    ref = jnp.where(~keep[..., None], 0.0, legendre_y_l0(cos, s))  # [B,N,K1,Kq,K2,S]
+    ref = jnp.transpose(ref, (0, 1, 5, 3, 2, 4))  # -> [B,N,S,Kq,K1,K2]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_gemnet_use_pallas_matches_xla():
+    """GemNet-OC forward with the fused quad-basis kernel (interpret) == XLA."""
+    import functools as ft
+
+    import jax
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from tests.test_gemnet_oc import TINY
+    from tests.test_painn import make_batch
+
+    batch = make_batch(np.random.default_rng(3))
+    m_x = GemNetOC(**TINY)
+    v = m_x.init(jax.random.PRNGKey(0), batch)
+    o_x = m_x.apply(v, batch)
+
+    orig_q, orig_c = pk.gemnet_quad_basis, pk.gemnet_cbf_basis
+    pk.gemnet_quad_basis = ft.partial(orig_q, interpret=True)
+    pk.gemnet_cbf_basis = ft.partial(orig_c, interpret=True)
+    try:
+        o_p = GemNetOC(**TINY, use_pallas=True).apply(v, batch)
+    finally:
+        pk.gemnet_quad_basis, pk.gemnet_cbf_basis = orig_q, orig_c
+    for k in o_x:
+        np.testing.assert_allclose(
+            np.asarray(o_p[k]), np.asarray(o_x[k]), atol=5e-6, rtol=1e-5
+        )
