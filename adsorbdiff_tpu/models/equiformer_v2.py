@@ -308,7 +308,9 @@ class SO2Conv(nn.Module):
             for p, (ca, cb) in zip(x_pieces, c_offs):
                 sl = p[..., a:b, :]
                 if g is not None:
-                    sl = sl * g[..., ca:cb]
+                    # gates come from the f32 radial trunk; cast to the
+                    # message dtype so bf16 chains stay bf16
+                    sl = sl * g[..., ca:cb].astype(sl.dtype)
                 out.append(sl)
             return tuple(out)
 
@@ -436,6 +438,17 @@ class SO2Attention(nn.Module):
         # contracts each against its kernel column slice, so the [E, (L)^2,
         # 2C] concat tensor (0.65 GB at published size) never exists, and the
         # target half rotates straight from the node table (no K broadcast)
+        cdt = compute_dtype()
+        if cdt is not None:
+            # keep the whole per-edge chain (gather, rotations, gating,
+            # convs) in the compute dtype: without this the [E, n_act, C]
+            # tensors and their layout copies run f32 (trace: ~2x the bytes
+            # of the bf16 chain; docs/PERF.md round-3).  Accumulations that
+            # need f32 (softmax, K-reduction) request it via
+            # preferred_element_type below.
+            x = x.astype(cdt)
+            d_m = d_m.astype(cdt)
+            d_inv_m = d_inv_m.astype(cdt)
         x_src = _gather_nodes_mm(x, nl.src)
         msg_s = jnp.einsum("bnkij,bnkjc->bnkic", d_m, x_src)
         msg_t = jnp.einsum("bnkij,bnjc->bnkic", d_m, x)
@@ -468,11 +481,11 @@ class SO2Attention(nn.Module):
             from_eff = rescale[:, None] * jnp.asarray(from_grid_m)
             h_act = s2_grid_silu(h, to_eff, from_eff)
         else:
-            h_scaled = h * rescale[:, None]
+            h_scaled = h * rescale[:, None].astype(h.dtype)
             g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid_m, h.dtype), h_scaled)
             g = jax.nn.silu(g)
             h_act = jnp.einsum("cg,...gf->...cf", jnp.asarray(from_grid_m, g.dtype), g)
-            h_act = h_act * rescale[:, None]
+            h_act = h_act * rescale[:, None].astype(h_act.dtype)
         # row 0 is (l=0, m=0) in the m-primary layout
         h = h_act.at[..., 0, :].set(jax.nn.silu(x0_gating).astype(h_act.dtype))
 
@@ -481,8 +494,10 @@ class SO2Attention(nn.Module):
             name="so2_conv_2",
         )(h)
 
-        # alpha: LayerNorm + SmoothLeakyReLU + per-head dot (ref :340-351)
-        a = x0_alpha.reshape(x0_alpha.shape[:-1] + (self.num_heads, self.attn_alpha))
+        # alpha: LayerNorm + SmoothLeakyReLU + per-head dot (ref :340-351);
+        # normalization and softmax stay f32 regardless of compute dtype
+        a = x0_alpha.astype(jnp.float32)
+        a = a.reshape(a.shape[:-1] + (self.num_heads, self.attn_alpha))
         a = nn.LayerNorm(name="alpha_norm")(a)
         a = smooth_leaky_relu(a)
         w = self.param(
@@ -500,13 +515,14 @@ class SO2Attention(nn.Module):
             attn = attn * dm.astype(attn.dtype) / keep
 
         # heads weighted (value channels contiguous per head), rotate back
-        # with the m-truncation rescale, reduce over neighbors
+        # with the m-truncation rescale, reduce over neighbors (f32
+        # accumulation over K even when the chain runs bf16)
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
-        v = v * attn_c[..., None, :]
+        v = v * attn_c[..., None, :].astype(v.dtype)
         v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_inv_m, v)  # -> l-primary
-        v_rot = v_rot * rescale_out[:, None]
+        v_rot = v_rot * rescale_out[:, None].astype(v_rot.dtype)
         v_rot = jnp.where(nl.mask[..., None, None], v_rot, 0.0)
-        out = jnp.sum(v_rot, axis=2)
+        out = jnp.sum(v_rot, axis=2, dtype=jnp.float32)
         return SO3Linear(self.num_heads * self.attn_value, self.c_out, self.lmax, name="proj")(out)
 
 
