@@ -62,14 +62,14 @@ from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.models.base import generate_graph
 from adsorbdiff_tpu.models.layers import compute_dtype, compute_dtype_scope
 from adsorbdiff_tpu.models.so3 import (
-    edge_frame_rotation,
+    edge_euler_angles,
     l1_coeffs_to_vector,
     l_expand_matrix,
     m_primary_order,
-    m_primary_perm,
     m_trunc_rescale,
+    rotate_from_edge_m,
+    rotate_to_edge_m,
     s2_grid_matrices,
-    wigner_D_from_rot,
 )
 
 # Reference constants (ref: equiformer_v2_oc20.py:37-41)
@@ -404,11 +404,12 @@ class SO2Attention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, z, nl, d_m, d_inv_m, edge_gauss):
-        """``d_m`` [*, n_active, (L)^2]: Wigner rotation with the truncated
-        m-primary relayout baked in; ``d_inv_m`` its transpose (rotation back
-        from the truncated m-primary edge frame to the full l-primary global
-        frame)."""
+    def __call__(self, x, z, nl, gamma, beta, edge_gauss):
+        """``gamma``/``beta`` [B, N, K]: per-edge frame Euler angles
+        (so3.edge_euler_angles gauge); rotations to/from the truncated
+        m-primary edge frame apply the decomposed Wigner chain
+        (so3.rotate_to_edge_m / rotate_from_edge_m) — shared constant matmuls
+        plus per-edge elementwise +-m mixing, no per-edge matrices."""
         order, ranges = m_primary_order(self.lmax, self.mmax)
         n_active = ranges[-1][1]
         rescale = jnp.asarray(
@@ -444,14 +445,13 @@ class SO2Attention(nn.Module):
             # convs) in the compute dtype: without this the [E, n_act, C]
             # tensors and their layout copies run f32 (trace: ~2x the bytes
             # of the bf16 chain; docs/PERF.md round-3).  Accumulations that
-            # need f32 (softmax, K-reduction) request it via
-            # preferred_element_type below.
+            # need f32 (softmax, K-reduction) request it explicitly below.
             x = x.astype(cdt)
-            d_m = d_m.astype(cdt)
-            d_inv_m = d_inv_m.astype(cdt)
         x_src = _gather_nodes_mm(x, nl.src)
-        msg_s = jnp.einsum("bnkij,bnkjc->bnkic", d_m, x_src)
-        msg_t = jnp.einsum("bnkij,bnjc->bnkic", d_m, x)
+        msg_s = rotate_to_edge_m(x_src, gamma, beta, self.lmax, self.mmax)
+        # target half: broadcast over K happens inside the rotation at its
+        # first per-edge elementwise stage (x enters node-level)
+        msg_t = rotate_to_edge_m(x[:, :, None], gamma, beta, self.lmax, self.mmax)
         msg = (msg_s, msg_t)
 
         extra_ch = self.num_heads * self.attn_alpha + self.attn_hidden
@@ -519,7 +519,7 @@ class SO2Attention(nn.Module):
         # accumulation over K even when the chain runs bf16)
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
         v = v * attn_c[..., None, :].astype(v.dtype)
-        v_rot = jnp.einsum("bnkij,bnkjc->bnkic", d_inv_m, v)  # -> l-primary
+        v_rot = rotate_from_edge_m(v, gamma, beta, self.lmax, self.mmax)
         v_rot = v_rot * rescale_out[:, None].astype(v_rot.dtype)
         v_rot = jnp.where(nl.mask[..., None, None], v_rot, 0.0)
         out = jnp.sum(v_rot, axis=2, dtype=jnp.float32)
@@ -605,17 +605,15 @@ class EquiformerV2(nn.Module):
             if not self.radii_pm_bug_compat:
                 dist = jnp.maximum(dist, 1e-3)
 
-        # edge frame rotations and Wigner-D blocks, with the truncated
-        # m-primary relayout baked into the rotation (see SO2Conv): d_m maps
-        # global l-primary -> edge-frame m-primary (only the |m| <= mmax rows
-        # the SO(2) convs consume), d_inv_m is its transpose
-        rot = edge_frame_rotation(unit)  # [B,N,K,3,3]
-        d_mats = wigner_D_from_rot(self.lmax, rot)
+        # edge-frame rotation, decomposed: with the alpha = 0 gauge the
+        # truncated m-primary Wigner apply P D(R_e) = (P J) Dz(beta) J^T
+        # Dz(gamma) splits into per-edge ELEMENTWISE +-m mixing and constant
+        # shared matmuls (so3.rotate_to_edge_m) — the per-edge [n_act, (L)^2]
+        # batched matmuls this replaces were the dominant forward cost
+        # (docs/PERF.md round-3), and no [E, (L)^2, (L)^2] Wigner tensors are
+        # ever built.  Only the two angles per edge persist.
+        gamma, beta_e = edge_euler_angles(unit)
         order, ranges = m_primary_order(self.lmax, self.mmax)
-        n_active = ranges[-1][1]
-        perm_t = jnp.asarray(m_primary_perm(self.lmax, self.mmax)[:n_active])
-        d_m = jnp.einsum("pi,bnkij->bnkpj", perm_t, d_mats)  # [B,N,K,n_act,(L)^2]
-        d_inv_m = jnp.swapaxes(d_m, -1, -2)
 
         # raw distance expansion shared by every block (ref :478; per-block
         # atom embeddings live inside the blocks: share_atom_edge_embedding
@@ -637,7 +635,7 @@ class EquiformerV2(nn.Module):
 
         # edge-degree embedding (ref: input_block.py:11-137): own atom-pair
         # embeddings + rad_func -> m=0 coefficients -> rotate out (+rescale);
-        # the m=0 block is the first n0 columns of d_inv_m
+        # the m=0 block is the leading n0 rows of the truncated layout
         n0 = ranges[0][1]
         rescale = jnp.asarray(m_trunc_rescale(self.lmax, self.mmax))
         emb_dim = rad_trunk[-1]
@@ -652,7 +650,7 @@ class EquiformerV2(nn.Module):
             rad_trunk + (n0 * self.sphere_channels,), name="edge_degree_rad_func"
         )(x_edge0)
         deg = deg.reshape(deg.shape[:-1] + (n0, self.sphere_channels))
-        deg_full = jnp.einsum("bnkij,bnkjc->bnkic", d_inv_m[..., :n0], deg)
+        deg_full = rotate_from_edge_m(deg, gamma, beta_e, self.lmax, self.mmax)
         deg_full = deg_full * rescale[:, None]
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree
@@ -666,7 +664,7 @@ class EquiformerV2(nn.Module):
                 self.sphere_channels, self.max_num_elements, rad_trunk,
                 grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
                 training=self.training, use_pallas=self.use_pallas, name=f"attn_{i}",
-            )(y, z, nl, d_m, d_inv_m, edge_gauss)
+            )(y, z, nl, gamma, beta_e, edge_gauss)
             x = x + self._branch_drop(y)
             y = EquivariantLayerNormSH(self.lmax, name=f"norm_ffn_{i}")(x)
             y = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
@@ -682,7 +680,7 @@ class EquiformerV2(nn.Module):
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
                 use_pallas=self.use_pallas, name=f"force_block{tag}",
-            )(x, z, nl, d_m, d_inv_m, edge_gauss)
+            )(x, z, nl, gamma, beta_e, edge_gauss)
             vec = l1_coeffs_to_vector(f[..., 1:4, 0])
             return jnp.where(batch.atom_mask[..., None], vec, 0.0)
 

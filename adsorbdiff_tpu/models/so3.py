@@ -159,6 +159,151 @@ def wigner_D_from_rot(lmax: int, rot: jnp.ndarray) -> jnp.ndarray:
     return da @ (j @ (db @ (j.T @ dg)))
 
 
+def edge_euler_angles(unit: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauge-fixed Euler angles (gamma, beta) of an edge frame mapping the
+    unit vector onto e_z: R_e = Ry(beta) Rz(gamma) (alpha == 0 gauge), so
+
+        D(R_e) = J Dz(beta) J^T Dz(gamma).
+
+    The SO(2)-conv structure is invariant to the in-plane gauge (the reference
+    even randomizes it, ref: equiformer_v2/edge_rot_mat.py:6-60), so fixing
+    alpha = 0 drops one z-rotation stage from every rotation apply and needs
+    no 3x3 frame or degeneracy-safe zyz extraction: beta = arccos(u_z),
+    gamma = atan2(u_y, -u_x) directly.
+    """
+    beta = jnp.arccos(jnp.clip(unit[..., 2], -1.0, 1.0))
+    gamma = jnp.arctan2(unit[..., 1], -unit[..., 0])
+    return gamma, beta
+
+
+@functools.lru_cache(maxsize=8)
+def zrot_swap_sign(lmax: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static per-row tables for applying Dz(t) elementwise in the l-primary
+    layout:  (Dz(t) x)[i] = cos(m_i t) x[i] + sign_i sin(m_i t) x[swap_i]
+    with swap the (l, m) <-> (l, -m) partner (self for m = 0, sign 0).
+
+    Returns (m_row [dim] float32, swap [dim] int64, sign [dim] float32).
+    """
+    m_diag, pi, pj, signed_m = _zrot_indices(lmax)
+    dim = (lmax + 1) ** 2
+    swap = np.arange(dim)
+    sign = np.zeros(dim, np.float32)
+    swap[pi], swap[pj] = pj, pi
+    sign[pi] = np.sign(signed_m)  # Dz[pi, pj] = sign * sin(m t)
+    sign[pj] = -np.sign(signed_m)  # Dz[pj, pi] = -sign * sin(m t)
+    return m_diag.astype(np.float32), swap, sign
+
+
+@functools.lru_cache(maxsize=8)
+def _rot_decomp_mats(lmax: int, mmax: int, n_rows: int):
+    """Constant matrices for the decomposed edge-frame rotation applies.
+
+    For the forward (global l-primary -> truncated m-primary edge frame)
+    rotate P J Dz(beta) J^T Dz(gamma); the two per-edge Dz stages need each
+    intermediate AND its (+m <-> -m) swap, so the constant matmuls are stacked
+    with their row-swapped copies:
+
+      swap_mat [dim, dim]          row-swap of the input (for Dz(gamma)),
+      jt2 [2 dim, dim]             [J^T; swap . J^T]  (for Dz(beta)),
+      pj [n_act, dim]              P J (final truncation),
+      m tables                     Dz tables in the truncated m-primary layout.
+
+    For the inverse (truncated m-primary, first ``n_rows`` rows -> global)
+    rotate Dz(-gamma) J Dz(-beta) J^T P^T:
+
+      jtp2 [2 dim, n_rows]         [J^T P^T; swap . J^T P^T],
+      j2 [2 dim, dim]              [J; swap . J].
+    """
+    dim = (lmax + 1) ** 2
+    m_row, swap, sign = zrot_swap_sign(lmax)
+    order, ranges = m_primary_order(lmax, mmax)
+    n_act = ranges[-1][1]
+    j = np.asarray(get_J_matrix(lmax), np.float32)
+
+    swap_mat = np.zeros((dim, dim), np.float32)
+    swap_mat[np.arange(dim), swap] = 1.0
+    jt = j.T
+    jt2 = np.concatenate([jt, jt[swap]], axis=0)
+    pj = j[order[:n_act], :]
+
+    # truncated m-primary Dz tables (every |m| <= mmax row keeps its partner)
+    keep = order[:n_act]
+    inv = {int(o): r for r, o in enumerate(keep)}
+    m_row_m = m_row[keep]
+    sign_m = sign[keep]
+    swap_m = np.asarray([inv[int(swap[o])] for o in keep])
+    pj2 = np.concatenate([pj, pj[swap_m]], axis=0)  # [2 n_act, dim]
+
+    jtp = j[order[:n_rows], :].T  # J^T P^T restricted to n_rows columns
+    jtp2 = np.concatenate([jtp, jtp[swap]], axis=0)
+    j2 = np.concatenate([j, j[swap]], axis=0)
+    return swap_mat, jt2, pj2, (m_row_m, sign_m), (m_row, sign), jtp2, j2, n_act
+
+
+def _cs(angle: jnp.ndarray, m_row: np.ndarray, sign: np.ndarray, dtype):
+    """cos(m t) and sign-folded sin(m t) row tables, [..., n_rows]."""
+    a = angle[..., None] * jnp.asarray(m_row)
+    return jnp.cos(a).astype(dtype), (jnp.sin(a) * jnp.asarray(sign)).astype(dtype)
+
+
+def rotate_to_edge_m(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                     lmax: int, mmax: int) -> jnp.ndarray:
+    """Apply the truncated m-primary edge-frame rotation P D(R_e) to
+    ``x [..., (L)^2, C]`` WITHOUT materializing per-edge Wigner matrices.
+
+    D(R_e) = J Dz(beta) J^T Dz(gamma) (edge_euler_angles gauge) splits into
+    per-edge ELEMENTWISE +-m pair mixing (the Dz factors — VPU) and constant
+    SHARED matmuls (J / P J — full-utilization MXU), replacing the batched
+    [n_act, (L)^2] x [(L)^2, C] per-edge matmuls that profiled as the
+    dominant EqV2 cost (docs/PERF.md round-3: XLA lowers them to
+    multiply+reduce fusions over an [E, n_act, (L)^2, C]-extent product).
+
+    ``gamma``/``beta`` broadcast against x's batch dims; extra trailing axes
+    on them (e.g. a neighbor axis when x is node-level) broadcast x up.
+    """
+    dt = x.dtype
+    swap_mat, jt2, pj2, (m_row_m, sign_m), (m_row, sign), _, _, n_act = (
+        _rot_decomp_mats(lmax, mmax, n_act_rows(lmax, mmax))
+    )
+    dim = x.shape[-2]
+    cg, sg = _cs(gamma, m_row, sign, dt)
+    cb, sb = _cs(beta, m_row, sign, dt)
+    del m_row_m, sign_m  # forward chain ends on the constant P J matmul
+    xs = jnp.einsum("ij,...jc->...ic", jnp.asarray(swap_mat, dt), x)
+    t1 = x * cg[..., None] + xs * sg[..., None]  # Dz(gamma); broadcasts edges
+    t2 = jnp.einsum("ij,...jc->...ic", jnp.asarray(jt2, dt), t1)
+    a, b = t2[..., :dim, :], t2[..., dim:, :]
+    t3 = a * cb[..., None] + b * sb[..., None]  # Dz(beta)
+    pj = jnp.asarray(pj2[:n_act], dt)
+    return jnp.einsum("ij,...jc->...ic", pj, t3)
+
+
+def rotate_from_edge_m(v: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
+                       lmax: int, mmax: int) -> jnp.ndarray:
+    """Inverse of :func:`rotate_to_edge_m` on the leading ``n_rows =
+    v.shape[-2]`` truncated m-primary rows: applies D(R_e)^T P^T as
+    Dz(-gamma) J Dz(-beta) (J^T P^T) with shared constant matmuls and
+    elementwise Dz stages (cos terms unchanged, sin terms negated)."""
+    dt = v.dtype
+    n_rows = v.shape[-2]
+    _, _, _, _, (m_row, sign), jtp2, j2, _ = _rot_decomp_mats(lmax, mmax, n_rows)
+    dim = (lmax + 1) ** 2
+    cb, sb = _cs(beta, m_row, sign, dt)
+    cg, sg = _cs(gamma, m_row, sign, dt)
+    t1 = jnp.einsum("ij,...jc->...ic", jnp.asarray(jtp2, dt), v)
+    a, b = t1[..., :dim, :], t1[..., dim:, :]
+    t2 = a * cb[..., None] - b * sb[..., None]  # Dz(-beta)
+    t3 = jnp.einsum("ij,...jc->...ic", jnp.asarray(j2, dt), t2)
+    a, b = t3[..., :dim, :], t3[..., dim:, :]
+    return a * cg[..., None] - b * sg[..., None]  # Dz(-gamma)
+
+
+@functools.lru_cache(maxsize=8)
+def n_act_rows(lmax: int, mmax: int) -> int:
+    """Number of active rows in the truncated m-primary layout."""
+    return int(m_primary_order(lmax, mmax)[1][-1][1])
+
+
 def edge_frame_rotation(unit: jnp.ndarray) -> jnp.ndarray:
     """Rotation R with R @ u = e_z (rows form an orthonormal frame).
 

@@ -101,3 +101,40 @@ def test_l1_coeffs_vector_equivariance():
     v = np.asarray(l1_coeffs_to_vector(jnp.asarray(c, jnp.float32)))
     v_rot = np.asarray(l1_coeffs_to_vector(jnp.asarray(d @ c, jnp.float32)))
     np.testing.assert_allclose(v_rot, r @ v, atol=1e-5)
+
+
+def test_decomposed_edge_rotation_matches_dense_wigner(rng):
+    """rotate_to_edge_m / rotate_from_edge_m == perm-truncated dense Wigner
+    apply for the alpha=0 gauge R_e = Ry(beta) Rz(gamma) (incl. the poles)."""
+    from adsorbdiff_tpu.models.so3 import (
+        edge_euler_angles,
+        m_primary_order,
+        rotate_from_edge_m,
+        rotate_to_edge_m,
+    )
+
+    lmax, mmax = 4, 2
+    u = rng.normal(size=(6, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    u = np.concatenate([u, [[0, 0, 1.0], [0, 0, -1.0]]])  # degenerate poles
+    gamma, beta = edge_euler_angles(jnp.asarray(u, jnp.float32))
+    order, ranges = m_primary_order(lmax, mmax)
+    n_act = ranges[-1][1]
+    n0 = ranges[0][1]
+    x = rng.normal(size=(len(u), (lmax + 1) ** 2, 5)).astype(np.float32)
+    got = np.asarray(rotate_to_edge_m(jnp.asarray(x), gamma, beta, lmax, mmax))
+    v = rng.normal(size=(len(u), n_act, 5)).astype(np.float32)
+    got_inv = np.asarray(rotate_from_edge_m(jnp.asarray(v), gamma, beta, lmax, mmax))
+    got_n0 = np.asarray(rotate_from_edge_m(jnp.asarray(v[:, :n0]), gamma, beta, lmax, mmax))
+    p = np.zeros((n_act, (lmax + 1) ** 2), np.float32)
+    p[np.arange(n_act), order[:n_act]] = 1.0
+    for e in range(len(u)):
+        b, g = float(beta[e]), float(gamma[e])
+        ry = Rotation.from_euler("y", b).as_matrix()
+        rz = Rotation.from_euler("z", g).as_matrix()
+        r = ry @ rz
+        np.testing.assert_allclose(r @ u[e], [0, 0, 1], atol=1e-5)
+        d = _rotation_matrix_to_D(lmax, r)
+        np.testing.assert_allclose(got[e], p @ d @ x[e], atol=2e-5)
+        np.testing.assert_allclose(got_inv[e], d.T @ p.T @ v[e], atol=2e-5)
+        np.testing.assert_allclose(got_n0[e], d.T @ p.T[:, :n0] @ v[e, :n0], atol=2e-5)
