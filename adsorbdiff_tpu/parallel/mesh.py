@@ -61,6 +61,42 @@ def replicate_tree(tree: Any, mesh: Optional[Mesh]) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def fsdp_shardings(tree: Any, mesh: Mesh, axis_name: str = "dp",
+                   min_size: int = 8192) -> Any:
+    """ZeRO-3 (FSDP) sharding specs for a state pytree.
+
+    Each sufficiently large leaf is sharded over ``axis_name`` along its
+    largest mesh-divisible dimension; small or indivisible leaves replicate.
+    Pinning the jitted train step's OUTPUT state to these specs makes XLA
+    all-gather parameters where the forward consumes them and turn the dp
+    gradient all-reduce into a reduce-scatter — the scaling-book ZeRO recipe,
+    with per-device optimizer/EMA memory dropping ~1/n_devices.  The reference
+    has no analogue (torch DDP replicates, ref: trainers/base_trainer.py:
+    442-447); this is the TPU-native extension for models that outgrow a
+    replicated optimizer state.
+    """
+    n = int(mesh.shape[axis_name])
+
+    def one(x):
+        shape = tuple(getattr(x, "shape", ()) or ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        cand = [d for d, s in enumerate(shape) if s % n == 0 and s >= n]
+        if not cand:
+            return NamedSharding(mesh, P())
+        d = max(cand, key=lambda i: shape[i])
+        spec: list = [None] * len(shape)
+        spec[d] = axis_name
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(one, tree)
+
+
+def shard_tree(tree: Any, shardings: Any) -> Any:
+    """device_put every leaf onto its matching sharding (pytrees congruent)."""
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+
 def local_device_count() -> int:
     return jax.local_device_count()
 

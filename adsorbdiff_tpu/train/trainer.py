@@ -106,6 +106,11 @@ class BaseTrainer:
             mesh = meshlib.make_mesh(n) if n > 1 else None
         self.mesh = mesh
         self.optim_cfg = config["optim"]
+        # ZeRO-3 parameter/optimizer/EMA sharding over the dp axis
+        # (optim.fsdp: true); see parallel/mesh.py::fsdp_shardings
+        self.fsdp = bool(self.optim_cfg.get("fsdp")) and self.mesh is not None
+        self.fsdp_min_size = int(self.optim_cfg.get("fsdp_min_size", 8192))
+        self.state_shardings = None
         self.model_cfg = config["model"]
         self.task_cfg = config.get("task", {})
         self.seed = int(config.get("seed", 0) or 0)
@@ -266,7 +271,13 @@ class BaseTrainer:
             ema_params=jax.tree.map(jnp.copy, params),
         )
         if self.mesh is not None:
-            state = meshlib.replicate_tree(state, self.mesh)
+            if self.fsdp:
+                self.state_shardings = meshlib.fsdp_shardings(
+                    state, self.mesh, min_size=self.fsdp_min_size
+                )
+                state = meshlib.shard_tree(state, self.state_shardings)
+            else:
+                state = meshlib.replicate_tree(state, self.mesh)
         self.state = state
         return state
 
@@ -274,6 +285,9 @@ class BaseTrainer:
         if self.state is None:
             raise RuntimeError("init_state(example_batch) before load_checkpoint")
         self.state, _ = ckpt.load_checkpoint(path, self.state)
+        if self.fsdp and self.state_shardings is not None:
+            # restore lands host-side; re-pin to the ZeRO shards
+            self.state = meshlib.shard_tree(self.state, self.state_shardings)
         self.step = int(self.state.step)
         # a checkpoint's scale factors count as fitted, matching the reference
         # consistency check on load (scale_factor.py:53-82)
@@ -313,6 +327,17 @@ class BaseTrainer:
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=new_params, opt_state=new_opt, ema_params=new_ema), aux
+
+    def _jit_step(self, train_step: Callable):
+        """jit the step fn; under FSDP pin the output state to the ZeRO
+        shardings so the optimizer math stays sharded (XLA then lowers the dp
+        gradient all-reduce to a reduce-scatter + all-gathers at use sites)."""
+        if self.state_shardings is not None:
+            return jax.jit(
+                train_step, donate_argnums=(0,),
+                out_shardings=(self.state_shardings, None),
+            )
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def _get_step_fn(self, batch: AtomsBatch):
         key = (batch.batch_size, batch.max_atoms)
@@ -517,7 +542,7 @@ class DenoisingTrainer(BaseTrainer):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             return self._finalize_train_step(loss, aux, grads, state)
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return self._jit_step(train_step)
 
     def _eval_step_fn(self):
         """Cached jitted eval step (a fresh jit per validate() call would
@@ -686,7 +711,7 @@ class S2EFTrainer(BaseTrainer):
             )
             return self._finalize_train_step(loss, aux, grads, state)
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return self._jit_step(train_step)
 
     def _predict(self, batch: AtomsBatch):
         key = (batch.batch_size, batch.max_atoms)
