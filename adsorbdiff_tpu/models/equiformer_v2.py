@@ -448,10 +448,20 @@ class SO2Attention(nn.Module):
             # need f32 (softmax, K-reduction) request it explicitly below.
             x = x.astype(cdt)
         x_src = _gather_nodes_mm(x, nl.src)
-        msg_s = rotate_to_edge_m(x_src, gamma, beta, self.lmax, self.mmax)
-        # target half: broadcast over K happens inside the rotation at its
-        # first per-edge elementwise stage (x enters node-level)
-        msg_t = rotate_to_edge_m(x[:, :, None], gamma, beta, self.lmax, self.mmax)
+        if self.use_pallas:
+            # fused rotation chain: the [E, {1..2}dim, C] Dz/J intermediates
+            # stay in VMEM (ops/pallas_kernels.py::eqv2_edge_rotate)
+            from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
+
+            msg_s = eqv2_edge_rotate(x_src, gamma, beta, self.lmax, self.mmax,
+                                     direction="to")
+            msg_t = eqv2_edge_rotate(x[:, :, None], gamma, beta, self.lmax,
+                                     self.mmax, direction="to")
+        else:
+            msg_s = rotate_to_edge_m(x_src, gamma, beta, self.lmax, self.mmax)
+            # target half: broadcast over K happens inside the rotation at its
+            # first per-edge elementwise stage (x enters node-level)
+            msg_t = rotate_to_edge_m(x[:, :, None], gamma, beta, self.lmax, self.mmax)
         msg = (msg_s, msg_t)
 
         extra_ch = self.num_heads * self.attn_alpha + self.attn_hidden
@@ -519,7 +529,13 @@ class SO2Attention(nn.Module):
         # accumulation over K even when the chain runs bf16)
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
         v = v * attn_c[..., None, :].astype(v.dtype)
-        v_rot = rotate_from_edge_m(v, gamma, beta, self.lmax, self.mmax)
+        if self.use_pallas:
+            from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
+
+            v_rot = eqv2_edge_rotate(v, gamma, beta, self.lmax, self.mmax,
+                                     direction="from", n_sel=v.shape[-2])
+        else:
+            v_rot = rotate_from_edge_m(v, gamma, beta, self.lmax, self.mmax)
         v_rot = v_rot * rescale_out[:, None].astype(v_rot.dtype)
         v_rot = jnp.where(nl.mask[..., None, None], v_rot, 0.0)
         out = jnp.sum(v_rot, axis=2, dtype=jnp.float32)
@@ -650,7 +666,13 @@ class EquiformerV2(nn.Module):
             rad_trunk + (n0 * self.sphere_channels,), name="edge_degree_rad_func"
         )(x_edge0)
         deg = deg.reshape(deg.shape[:-1] + (n0, self.sphere_channels))
-        deg_full = rotate_from_edge_m(deg, gamma, beta_e, self.lmax, self.mmax)
+        if self.use_pallas:
+            from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
+
+            deg_full = eqv2_edge_rotate(deg, gamma, beta_e, self.lmax, self.mmax,
+                                        direction="from", n_sel=n0)
+        else:
+            deg_full = rotate_from_edge_m(deg, gamma, beta_e, self.lmax, self.mmax)
         deg_full = deg_full * rescale[:, None]
         deg_full = jnp.where(nl.mask[..., None, None], deg_full, 0.0)
         x = x + jnp.sum(deg_full, axis=2) / self.avg_degree

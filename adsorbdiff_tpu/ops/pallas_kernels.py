@@ -915,6 +915,210 @@ def s2_grid_silu(h, to_grid_m, from_grid_m, tile_m: int = 512, interpret: bool =
 
 
 # ---------------------------------------------------------------------------
+# EquiformerV2 fused edge-frame rotations (round-3 queue item 1, stage 2)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=32)
+def _edge_rot_consts(lmax: int, mmax: int, n_sel: int, direction: str):
+    """Static matrices for the fused truncated edge-frame rotation chain.
+
+    Both directions of the decomposed Wigner apply (so3.rotate_to_edge_m /
+    rotate_from_edge_m) share one structure:
+
+        mm(S1) -> elementwise Dz(a1) -> mm(S2) -> elementwise Dz(a2) [-> mm(S3)]
+
+    where the S matrices stack each map with its (+m <-> -m) row-swapped copy
+    so the per-edge Dz stages are pure elementwise mixes of the two halves:
+
+      direction='to'   (x [dim] -> truncated m-primary [n_sel]):
+        S1 = [I; SW], a1 = gamma, S2 = [J^T; SW J^T], a2 = beta, S3 = P_sel J
+      direction='from' (truncated m-primary [n_sel] -> [dim]):
+        S1 = [J^T P_sel^T; SW J^T P_sel^T], a1 = -beta, S2 = [J; SW J],
+        a2 = -gamma, no S3
+
+    The Dz sign is folded into the EXPS sin-expander, so the kernel body is
+    direction-agnostic.  Because the maps are linear and Dz(t)^T = Dz(-t),
+    each direction's transpose IS the other direction's chain — the custom
+    VJPs below reuse the same kernel with swapped angle order.
+    """
+    import numpy as np
+
+    from adsorbdiff_tpu.models.so3 import (
+        get_J_matrix,
+        m_primary_order,
+        zrot_swap_sign,
+    )
+
+    dim = (lmax + 1) ** 2
+    dp = _round_up(dim, 8)
+    m_row, swap, sign = zrot_swap_sign(lmax)
+    order, _ = m_primary_order(lmax, mmax)
+    j = np.asarray(get_J_matrix(lmax), np.float32)
+    sw = np.zeros((dim, dim), np.float32)
+    sw[np.arange(dim), swap] = 1.0
+
+    def stack2(a):  # [[A]; [SW A]] at half offsets 0 / dp, padded [2dp, dp]
+        out = np.zeros((2 * dp, dp), np.float32)
+        out[:dim, : a.shape[1]] = a
+        out[dp : dp + dim, : a.shape[1]] = sw @ a
+        return out
+
+    if direction == "to":
+        s1 = stack2(np.eye(dim, dtype=np.float32))
+        s2 = stack2(j.T)
+        s3 = np.zeros((dp, dp), np.float32)
+        s3[:n_sel, :dim] = j[order[:n_sel], :]
+        minus = False
+    else:
+        jtp = j[order[:n_sel], :].T  # [dim, n_sel]
+        s1 = stack2(jtp)
+        s2 = stack2(j)
+        s3 = None
+        minus = True
+
+    expc = np.zeros((dp, 8), np.float32)
+    exps = np.zeros((dp, 8), np.float32)
+    expc[np.arange(dim), m_row.astype(int)] = 1.0
+    exps[np.arange(dim), m_row.astype(int)] = -sign if minus else sign
+    return s1, s2, s3, expc, exps, dp
+
+
+def _edge_rot_kernel(x_ref, a1_ref, a2_ref, s1_ref, s2_ref, *rest, dp: int,
+                     has_s3: bool):
+    """One fused rotation chain on a [dp, TILE] block: the [*, 2dim, C]-extent
+    intermediates the XLA formulation round-trips to HBM stay in VMEM."""
+    if has_s3:
+        s3_ref, expc_ref, exps_ref, o_ref = rest
+    else:
+        expc_ref, exps_ref, o_ref = rest
+        s3_ref = None
+    dt = x_ref.dtype
+    f32 = jnp.float32
+    mv = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(f32)
+
+    def tables(a_ref):
+        ang = mv * a_ref[:]  # [8, T] f32: cos/sin(m t) for m = 0..7
+        c = jnp.dot(expc_ref[:], jnp.cos(ang), preferred_element_type=f32)
+        s = jnp.dot(exps_ref[:], jnp.sin(ang), preferred_element_type=f32)
+        return c.astype(dt), s.astype(dt)
+
+    c1, s1t = tables(a1_ref)
+    c2, s2t = tables(a2_ref)
+    h = jnp.dot(s1_ref[:], x_ref[:], preferred_element_type=f32).astype(dt)
+    t = h[:dp] * c1 + h[dp:] * s1t
+    h2 = jnp.dot(s2_ref[:], t, preferred_element_type=f32).astype(dt)
+    t2 = h2[:dp] * c2 + h2[dp:] * s2t
+    if has_s3:
+        t2 = jnp.dot(s3_ref[:], t2, preferred_element_type=f32)
+    o_ref[:] = t2.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lmax", "mmax", "n_sel", "direction", "tile", "interpret")
+)
+def _edge_rot_call(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret):
+    s1, s2, s3, expc, exps, dp = _edge_rot_consts(lmax, mmax, n_sel, direction)
+    dt = xT.dtype
+    tmp = xT.shape[1]
+    has_s3 = s3 is not None
+    args = [xT, a1, a2, jnp.asarray(s1, dt), jnp.asarray(s2, dt)]
+    in_specs = [
+        pl.BlockSpec((dp, tile), lambda i: (0, i)),
+        pl.BlockSpec((1, tile), lambda i: (0, i)),
+        pl.BlockSpec((1, tile), lambda i: (0, i)),
+        pl.BlockSpec((2 * dp, dp), lambda i: (0, 0)),
+        pl.BlockSpec((2 * dp, dp), lambda i: (0, 0)),
+    ]
+    if has_s3:
+        args.append(jnp.asarray(s3, dt))
+        in_specs.append(pl.BlockSpec((dp, dp), lambda i: (0, 0)))
+    args += [jnp.asarray(expc), jnp.asarray(exps)]
+    in_specs += [
+        pl.BlockSpec((dp, 8), lambda i: (0, 0)),
+        pl.BlockSpec((dp, 8), lambda i: (0, 0)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_edge_rot_kernel, dp=dp, has_s3=has_s3),
+        grid=(tmp // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((dp, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dp, tmp), dt),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _edge_rot_vjp(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret):
+    return _edge_rot_call(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret)
+
+
+def _edge_rot_fwd(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret):
+    out = _edge_rot_call(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret)
+    return out, (a1, a2)
+
+
+def _edge_rot_bwd(lmax, mmax, n_sel, direction, tile, interpret, res, ct):
+    """The rotation is LINEAR in x and Dz(t)^T = Dz(-t), so the VJP is the
+    dual-direction chain with the angle order swapped.  Angle cotangents are
+    ZERO by construction (geometry inputs — same contract as the PaiNN fused
+    kernel: score losses never differentiate through positions)."""
+    a1, a2 = res
+    dual = "from" if direction == "to" else "to"
+    dx = _edge_rot_call(ct, a2, a1, lmax, mmax, n_sel, dual, tile, interpret)
+    return dx, jnp.zeros_like(a1), jnp.zeros_like(a2)
+
+
+_edge_rot_vjp.defvjp(_edge_rot_fwd, _edge_rot_bwd)
+
+
+def eqv2_edge_rotate(x, gamma, beta, lmax: int, mmax: int, *, direction: str,
+                     n_sel: int | None = None, tile_m: int = 4096,
+                     interpret: bool = False):
+    """Fused truncated edge-frame Wigner rotation for EquiformerV2.
+
+    ``direction='to'``: x [..., (lmax+1)^2, C] -> [..., n_sel, C] truncated
+    m-primary edge-frame coefficients (== so3.rotate_to_edge_m).
+    ``direction='from'``: x [..., n_sel, C] -> [..., (lmax+1)^2, C]
+    (== so3.rotate_from_edge_m).  ``n_sel`` defaults to the full active-row
+    count.  ``gamma``/``beta`` broadcast against x's leading dims.
+
+    Layout: coefficient rows on sublanes, flattened (edge, channel) columns
+    on lanes (the s2_grid_silu layout); per-edge angles arrive channel-
+    expanded as one [1, M] row and the cos/sin(m t) tables are built in-VMEM
+    from an 8-row table via constant one-hot expanders.  The XLA decomposed
+    chain (so3.rotate_to_edge_m) round-trips ~5 [E, {1..2}dim, C] tensors
+    through HBM per rotation; here only x and the result touch HBM.
+    Differentiable w.r.t. x (custom VJP = the dual chain); angle cotangents
+    are zero (geometry — see _edge_rot_bwd).
+    """
+    from adsorbdiff_tpu.models.so3 import n_act_rows
+
+    dim = (lmax + 1) ** 2
+    dp = _round_up(dim, 8)
+    if n_sel is None:
+        n_sel = n_act_rows(lmax, mmax)
+    lead = jnp.broadcast_shapes(x.shape[:-2], gamma.shape)
+    x = jnp.broadcast_to(x, lead + x.shape[-2:])
+    c = x.shape[-1]
+    r_in = x.shape[-2]
+    xT = jnp.moveaxis(x, -2, 0).reshape(r_in, -1)
+    tm = xT.shape[1]
+    tile = min(tile_m, _round_up(tm, 128))
+    tmp = _round_up(tm, tile)
+    xT = jnp.pad(xT, ((0, dp - r_in), (0, tmp - tm)))
+
+    def ang(a):
+        e = jnp.broadcast_to(a[..., None], lead + (c,)).reshape(1, -1)
+        return jnp.pad(e.astype(jnp.float32), ((0, 0), (0, tmp - tm)))
+
+    g_e, b_e = ang(gamma), ang(beta)
+    a1, a2 = (g_e, b_e) if direction == "to" else (b_e, g_e)
+    y = _edge_rot_vjp(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret)
+    r_out = n_sel if direction == "to" else dim
+    y = y[:r_out, :tm].reshape((r_out,) + lead + (c,))
+    return jnp.moveaxis(y, 0, -2)
+
+
+# ---------------------------------------------------------------------------
 # GemNet-OC fused masked-Legendre bases (relaxation-stage hot path)
 # ---------------------------------------------------------------------------
 def _legendre_cos_kernel(a_ref, bt_ref, keep_ref, o_ref, *, num_spherical, cells):

@@ -260,6 +260,65 @@ def test_s2_grid_silu_kernel_parity_and_grad():
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), atol=2e-5, rtol=2e-5)
 
 
+def test_eqv2_edge_rotate_kernel_parity_and_grad():
+    """Fused edge-frame rotation (interpret): both directions match the XLA
+    decomposed chain (so3.rotate_to/from_edge_m) and the custom VJP (the
+    dual-direction chain) matches autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from adsorbdiff_tpu.models.so3 import (
+        n_act_rows,
+        rotate_from_edge_m,
+        rotate_to_edge_m,
+    )
+    from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
+
+    lmax, mmax, c = 4, 2, 16
+    na = n_act_rows(lmax, mmax)
+    rng = np.random.default_rng(0)
+    b, n, k = 2, 5, 4
+    x = jnp.asarray(rng.normal(size=(b, n, k, (lmax + 1) ** 2, c)), jnp.float32)
+    g = jnp.asarray(rng.uniform(-np.pi, np.pi, (b, n, k)), jnp.float32)
+    be = jnp.asarray(rng.uniform(0, np.pi, (b, n, k)), jnp.float32)
+
+    got = eqv2_edge_rotate(x, g, be, lmax, mmax, direction="to", interpret=True)
+    ref = rotate_to_edge_m(x, g, be, lmax, mmax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    # target-half broadcast (node-level x enters with a singleton K axis)
+    got_t = eqv2_edge_rotate(x[:, :, :1], g, be, lmax, mmax, direction="to", interpret=True)
+    ref_t = rotate_to_edge_m(x[:, :, :1], g, be, lmax, mmax)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), atol=2e-6)
+
+    v = jnp.asarray(rng.normal(size=(b, n, k, na, c)), jnp.float32)
+    got_f = eqv2_edge_rotate(v, g, be, lmax, mmax, direction="from", n_sel=na, interpret=True)
+    ref_f = rotate_from_edge_m(v, g, be, lmax, mmax)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f), atol=2e-6)
+
+    # edge-degree path: n_sel = n0 < n_act input rows
+    v5 = jnp.asarray(rng.normal(size=(b, n, k, lmax + 1, c)), jnp.float32)
+    got_5 = eqv2_edge_rotate(v5, g, be, lmax, mmax, direction="from", n_sel=lmax + 1, interpret=True)
+    ref_5 = rotate_from_edge_m(v5, g, be, lmax, mmax)
+    np.testing.assert_allclose(np.asarray(got_5), np.asarray(ref_5), atol=2e-6)
+
+    # gradient parity through the custom VJP, both directions
+    w = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    g_ref = jax.grad(lambda xx: jnp.sum(rotate_to_edge_m(xx, g, be, lmax, mmax) * w))(x)
+    g_got = jax.grad(
+        lambda xx: jnp.sum(eqv2_edge_rotate(xx, g, be, lmax, mmax, direction="to", interpret=True) * w)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=2e-6)
+    w2 = jnp.asarray(rng.normal(size=ref_f.shape), jnp.float32)
+    g_ref2 = jax.grad(lambda vv: jnp.sum(rotate_from_edge_m(vv, g, be, lmax, mmax) * w2))(v)
+    g_got2 = jax.grad(
+        lambda vv: jnp.sum(
+            eqv2_edge_rotate(vv, g, be, lmax, mmax, direction="from", n_sel=na, interpret=True) * w2
+        )
+    )(v)
+    np.testing.assert_allclose(np.asarray(g_got2), np.asarray(g_ref2), atol=2e-6)
+
+
 def test_eqv2_use_pallas_matches_xla():
     """EqV2 forward with the fused S^2 kernel (interpret) == XLA path."""
     import jax
@@ -277,15 +336,54 @@ def test_eqv2_use_pallas_matches_xla():
     import functools as ft
 
     orig = pk.s2_grid_silu
-    forced = ft.partial(orig, interpret=True)
-    pk.s2_grid_silu = forced
+    orig_rot = pk.eqv2_edge_rotate
+    pk.s2_grid_silu = ft.partial(orig, interpret=True)
+    pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
     try:
         m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, use_pallas=True)
         f1_p, f2_p = m_p.apply(v, batch)
     finally:
         pk.s2_grid_silu = orig
+        pk.eqv2_edge_rotate = orig_rot
     np.testing.assert_allclose(np.asarray(f1_p), np.asarray(f1_x), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
+
+
+def test_eqv2_use_pallas_grad_matches_xla():
+    """Gradients through the fused rotation + S^2 kernels (interpret) match
+    the XLA path — the use_pallas forward is trainable."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from tests.test_equiformer_v2 import TINY
+    from tests.test_painn import make_batch
+
+    batch = make_batch(np.random.default_rng(5))
+    m_x = EquiformerV2(**TINY, so3_denoising=True, for_denoising=False)
+    v = m_x.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(model):
+        def loss(params):
+            f = model.apply(params, batch)
+            return jnp.mean(f**2)
+
+        return jax.grad(loss)(v)
+
+    g_x = loss_fn(m_x)
+    orig_s2, orig_rot = pk.s2_grid_silu, pk.eqv2_edge_rotate
+    pk.s2_grid_silu = ft.partial(orig_s2, interpret=True)
+    pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
+    try:
+        g_p = loss_fn(EquiformerV2(**TINY, so3_denoising=True, for_denoising=False, use_pallas=True))
+    finally:
+        pk.s2_grid_silu = orig_s2
+        pk.eqv2_edge_rotate = orig_rot
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-3)
 
 
 def test_gemnet_quad_basis_kernel_parity():
