@@ -336,6 +336,95 @@ class SO2Conv(nn.Module):
         return (out, extra) if self.extra_m0_out else out
 
 
+class _DenseP(nn.Module):
+    """Parameter stand-in for nn.Dense (same names + default inits), used by
+    the fused attention front half to declare params at the paths the real
+    submodules would own (the painn _FilterParams pattern — flax init RNGs
+    fold by path, so values are identical either way)."""
+
+    fin: int
+    fout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        t = {"kernel": self.param("kernel", nn.initializers.lecun_normal(), (self.fin, self.fout))}
+        if self.use_bias:
+            t["bias"] = self.param("bias", nn.initializers.zeros, (self.fout,))
+        return t
+
+
+class _LNP(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.features,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.features,)),
+        }
+
+
+class _RadialP(nn.Module):
+    """Stand-in declaring RadialFunction's parameter tree."""
+
+    channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        tree = {}
+        n = len(self.channels) - 1
+        for i in range(n):
+            tree[f"dense_{i}"] = _DenseP(self.channels[i], self.channels[i + 1], name=f"dense_{i}")()
+            if i < n - 1:
+                tree[f"ln_{i}"] = _LNP(self.channels[i + 1], name=f"ln_{i}")()
+        return tree
+
+
+class _GroupLinP(nn.Module):
+    nc_in: int
+    n_cols: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        t = {"kernel": self.param("kernel", nn.initializers.lecun_normal(), (self.nc_in, self.n_cols))}
+        if self.use_bias:
+            t["bias"] = self.param("bias", nn.initializers.zeros, (self.n_cols,))
+        return t
+
+
+class _SO2ConvP(nn.Module):
+    """Declares the full SO2Conv(internal_weights=False) parameter tree —
+    rad_func + fc_m* — and returns the raw arrays for the fused kernel."""
+
+    lmax: int
+    mmax: int
+    c_in: int
+    c_out: int
+    extra: int
+    rad_channels: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        ranges = m_primary_order(self.lmax, self.mmax)[1]
+        n0 = ranges[0][1]
+        n_pos = [(b - a) for a, b in ranges[1::2]]
+        n_rad = (n0 + sum(n_pos)) * self.c_in
+        rad = _RadialP(tuple(self.rad_channels) + (n_rad,), name="rad_func")()
+        conv = {
+            "fc_m0": _GroupLinP(n0 * self.c_in, self.extra + n0 * self.c_out, name="fc_m0")()
+        }
+        for mi, nl in enumerate(n_pos):
+            conv[f"fc_m{mi + 1}_r"] = _GroupLinP(
+                nl * self.c_in, nl * self.c_out, use_bias=False, name=f"fc_m{mi + 1}_r"
+            )()
+            conv[f"fc_m{mi + 1}_i"] = _GroupLinP(
+                nl * self.c_in, nl * self.c_out, use_bias=False, name=f"fc_m{mi + 1}_i"
+            )()
+        return rad, conv
+
+
 class GridMLPFFN(nn.Module):
     """FeedForwardNetwork, published branch: use_grid_mlp + use_sep_s2_act
     (ref: transformer_block.py:373-532)."""
@@ -402,9 +491,12 @@ class SO2Attention(nn.Module):
     alpha_drop: float = 0.0
     training: bool = False
     use_pallas: bool = False
+    use_pallas_conv1: bool = False  # fused trunk+gates+conv1 kernel
+    cutoff: float = 12.0
+    num_gauss: int = 600
 
     @nn.compact
-    def __call__(self, x, z, nl, gamma, beta, edge_gauss):
+    def __call__(self, x, z, nl, gamma, beta, edge_gauss, dist=None):
         """``gamma``/``beta`` [B, N, K]: per-edge frame Euler angles
         (so3.edge_euler_angles gauge); rotations to/from the truncated
         m-primary edge frame apply the decomposed Wigner chain
@@ -430,9 +522,11 @@ class SO2Attention(nn.Module):
             embedding_init=_emb_uniform_init,
             name="target_embedding",
         )(z)[:, :, None, :]
-        x_edge = jnp.concatenate(
-            [edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1
-        )
+        x_edge = None
+        if not self.use_pallas_conv1:
+            x_edge = jnp.concatenate(
+                [edge_gauss, emb_s, jnp.broadcast_to(emb_t, emb_s.shape)], axis=-1
+            )
 
         # message = concat(source, target) channels (ref :258-276), but the
         # halves are rotated separately and never concatenated: the conv
@@ -465,11 +559,28 @@ class SO2Attention(nn.Module):
         msg = (msg_s, msg_t)
 
         extra_ch = self.num_heads * self.attn_alpha + self.attn_hidden
-        h, x0_extra = SO2Conv(
-            self.lmax, self.mmax, 2 * self.channels, self.attn_hidden,
-            extra_m0_out=extra_ch, internal_weights=False,
-            edge_channels=self.edge_channels, name="so2_conv_1",
-        )(msg, x_edge)
+        if self.use_pallas_conv1:
+            # fused basis+trunk+gates+conv1 kernel; params declared at the
+            # same paths via stand-ins, so checkpoints are interchangeable
+            from adsorbdiff_tpu.ops.pallas_kernels import eqv2_attn_conv1
+
+            rad_tree, conv_tree = _SO2ConvP(
+                self.lmax, self.mmax, 2 * self.channels, self.attn_hidden,
+                extra_ch, tuple(self.edge_channels), name="so2_conv_1",
+            )()
+            h, x0_extra = eqv2_attn_conv1(
+                dist, nl.mask, emb_s, jnp.broadcast_to(emb_t, emb_s.shape),
+                msg_s, jnp.broadcast_to(msg_t, msg_s.shape), rad_tree,
+                conv_tree, lmax=self.lmax, mmax=self.mmax,
+                c_out=self.attn_hidden, extra=extra_ch,
+                num_gauss=self.num_gauss, cutoff=self.cutoff,
+            )
+        else:
+            h, x0_extra = SO2Conv(
+                self.lmax, self.mmax, 2 * self.channels, self.attn_hidden,
+                extra_m0_out=extra_ch, internal_weights=False,
+                edge_channels=self.edge_channels, name="so2_conv_1",
+            )(msg, x_edge)
 
         x0_alpha = x0_extra[..., : self.num_heads * self.attn_alpha]
         x0_gating = x0_extra[..., self.num_heads * self.attn_alpha :]
@@ -579,6 +690,7 @@ class EquiformerV2(nn.Module):
     proj_drop: float = 0.0
     training: bool = False
     use_pallas: bool = False  # fused S^2-activation kernel in the attention
+    use_pallas_conv1: bool = False  # fused basis+trunk+gates+conv1 kernel
     compute_dtype: Optional[str] = None  # "bfloat16": SO(2)-conv + grid-FFN
     # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)
 
@@ -685,8 +797,10 @@ class EquiformerV2(nn.Module):
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 self.sphere_channels, self.max_num_elements, rad_trunk,
                 grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
-                training=self.training, use_pallas=self.use_pallas, name=f"attn_{i}",
-            )(y, z, nl, gamma, beta_e, edge_gauss)
+                training=self.training, use_pallas=self.use_pallas,
+                use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
+                num_gauss=self.num_distance_basis, name=f"attn_{i}",
+            )(y, z, nl, gamma, beta_e, edge_gauss, dist=dist)
             x = x + self._branch_drop(y)
             y = EquivariantLayerNormSH(self.lmax, name=f"norm_ffn_{i}")(x)
             y = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
@@ -701,8 +815,10 @@ class EquiformerV2(nn.Module):
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
-                use_pallas=self.use_pallas, name=f"force_block{tag}",
-            )(x, z, nl, gamma, beta_e, edge_gauss)
+                use_pallas=self.use_pallas,
+                use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
+                num_gauss=self.num_distance_basis, name=f"force_block{tag}",
+            )(x, z, nl, gamma, beta_e, edge_gauss, dist=dist)
             vec = l1_coeffs_to_vector(f[..., 1:4, 0])
             return jnp.where(batch.atom_mask[..., None], vec, 0.0)
 

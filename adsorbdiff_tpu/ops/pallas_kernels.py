@@ -1119,6 +1119,366 @@ def eqv2_edge_rotate(x, gamma, beta, lmax: int, mmax: int, *, direction: str,
 
 
 # ---------------------------------------------------------------------------
+# EquiformerV2 fused radial trunk + gates + first SO(2) conv (stage 3)
+# ---------------------------------------------------------------------------
+def _attn_conv1_kernel(
+    dist_ref,  # [TE, 1] f32
+    mask_ref,  # [TE, 1] f32
+    embs_ref,  # [TE, E_DIM]
+    embt_ref,  # [TE, E_DIM]
+    msgs_ref,  # [TE, NA*C] flat m-primary (n-major, channel-inner)
+    msgt_ref,  # [TE, NA*C]
+    wg_ref,  # [R, E] gaussian rows of dense_0
+    ws_ref,  # [E_DIM, E] emb_s rows
+    wt_ref,  # [E_DIM, E] emb_t rows
+    b0_ref,  # [1, E]
+    ln0s_ref, ln0b_ref,  # [1, E]
+    w1_ref, b1_ref, ln1s_ref, ln1b_ref,  # [E, E], [1, E] x3
+    w2_ref,  # [E, NG] gate columns reordered [s-half | t-half], n-major
+    b2_ref,  # [1, NG]
+    bm0_ref,  # [1, EXTRA + n0*c_out]
+    *rest,  # per-block conv kernels (see eqv2_attn_conv1) + 2 output refs
+    num_gauss: int,
+    cutoff: float,
+    width_scalar: float,
+    c_in: int,
+    c_out: int,
+    extra: int,
+    n_blocks: tuple,  # rows per m-block, e.g. (5, 4, 3)
+):
+    n_out = 2 * len(n_blocks)  # extra + m0 + (yp, yn) per |m|>0 block
+    w_refs, out_refs = rest[:-n_out], rest[-n_out:]
+    ex_ref = out_refs[0]
+    f32 = jnp.float32
+    dt = msgs_ref.dtype
+    delta = cutoff / (num_gauss - 1)
+    coeff = -0.5 / (width_scalar * delta) ** 2
+    off = jax.lax.broadcasted_iota(jnp.int32, (1, num_gauss), 1).astype(f32) * delta
+    d = dist_ref[:]
+    gauss = (jnp.exp(coeff * (d - off) ** 2) * mask_ref[:]).astype(dt)
+
+    def ln_silu(h, s_ref, b_ref):
+        mu = jnp.mean(h, axis=1, keepdims=True)
+        var = jnp.mean((h - mu) ** 2, axis=1, keepdims=True)
+        y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * s_ref[:] + b_ref[:]
+        return y * jax.nn.sigmoid(y)
+
+    h0 = (
+        jnp.dot(gauss, wg_ref[:], preferred_element_type=f32)
+        + jnp.dot(embs_ref[:], ws_ref[:], preferred_element_type=f32)
+        + jnp.dot(embt_ref[:], wt_ref[:], preferred_element_type=f32)
+        + b0_ref[:]
+    )
+    y0 = ln_silu(h0, ln0s_ref, ln0b_ref)
+    h1 = jnp.dot(y0.astype(dt), w1_ref[:], preferred_element_type=f32) + b1_ref[:]
+    y1 = ln_silu(h1, ln1s_ref, ln1b_ref)
+    gates = (
+        jnp.dot(y1.astype(dt), w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+    ).astype(dt)
+
+    # gate expansion: the |m|>0 gate blocks apply to BOTH the +m and -m
+    # coefficient blocks; all slice offsets are multiples of C (lane tiles)
+    half = sum(n_blocks) * c_in
+    goff = [0]
+    for nb in n_blocks:
+        goff.append(goff[-1] + nb * c_in)
+
+    def gated(msg, base):
+        """Per-m-block gated slices [m0, m1+, m1-, m2+, m2-, ...]; the |m|>0
+        gate blocks apply to BOTH the +m and -m coefficient blocks."""
+        pieces = [msg[:, : n_blocks[0] * c_in] * gates[:, base : base + goff[1]]]
+        moff = n_blocks[0] * c_in
+        for mi in range(1, len(n_blocks)):
+            g = gates[:, base + goff[mi] : base + goff[mi + 1]]
+            w = n_blocks[mi] * c_in
+            pieces.append(msg[:, moff : moff + w] * g)
+            pieces.append(msg[:, moff + w : moff + 2 * w] * g)
+            moff += 2 * w
+        return pieces
+
+    gs = gated(msgs_ref[:], 0)
+    gt = gated(msgt_ref[:], half)
+
+    # per-m-block MXU matmuls on lane-aligned slices (same FLOPs as the XLA
+    # _GroupLin einsums; a block-diagonal packed dense matmul would waste
+    # ~4.4x on zero blocks).  w_refs order: km0_s, km0_t, then per |m|>0
+    # block (kr_s, ki_s, kr_t, ki_t)
+    def dot(a, w_ref):
+        return jnp.dot(a, w_ref[:], preferred_element_type=f32)
+
+    y0 = dot(gs[0], w_refs[0]) + dot(gt[0], w_refs[1]) + bm0_ref[:]
+    ex_ref[:] = y0[:, :extra].astype(ex_ref.dtype)
+    out_refs[1][:] = y0[:, extra:].astype(out_refs[1].dtype)
+
+    wi = 2
+    for mi in range(1, len(n_blocks)):
+        xp_s, xn_s = gs[2 * mi - 1], gs[2 * mi]
+        xp_t, xn_t = gt[2 * mi - 1], gt[2 * mi]
+        kr_s, ki_s, kr_t, ki_t = w_refs[wi : wi + 4]
+        wi += 4
+        yp = dot(xp_s, kr_s) + dot(xp_t, kr_t) - dot(xn_s, ki_s) - dot(xn_t, ki_t)
+        yn = dot(xp_s, ki_s) + dot(xp_t, ki_t) + dot(xn_s, kr_s) + dot(xn_t, kr_t)
+        out_refs[2 * mi][:] = yp.astype(out_refs[2 * mi].dtype)
+        out_refs[2 * mi + 1][:] = yn.astype(out_refs[2 * mi + 1].dtype)
+
+
+def _attn_conv1_ref(dist, mask, emb_s, emb_t, msg_s, msg_t, weights, *,
+                    num_gauss, cutoff, width_scalar, c_in, c_out, extra,
+                    n_blocks):
+    """Pure-jnp reference of the fused trunk+gates+conv1 (same packed weight
+    layout as the kernel) — the custom VJP backward differentiates this, so
+    training through the fused op costs one XLA recompute instead of a
+    mirrored backward kernel."""
+    (wg, ws, wt, b0, ln0s, ln0b, w1, b1, ln1s, ln1b, w2, b2, bm0), conv_ws = weights
+    delta = cutoff / (num_gauss - 1)
+    coeff = -0.5 / (width_scalar * delta) ** 2
+    off = jnp.arange(num_gauss, dtype=jnp.float32) * delta
+    gauss = (jnp.exp(coeff * (dist[:, None] - off) ** 2) * mask[:, None]).astype(msg_s.dtype)
+
+    def ln_silu(h, s, b):
+        mu = jnp.mean(h, axis=1, keepdims=True)
+        var = jnp.mean((h - mu) ** 2, axis=1, keepdims=True)
+        y = (h - mu) * jax.lax.rsqrt(var + 1e-6) * s + b
+        return y * jax.nn.sigmoid(y)
+
+    f32 = jnp.float32
+    dotf = lambda a, w: jnp.dot(a, w, preferred_element_type=f32)  # noqa: E731
+    h0 = dotf(gauss, wg) + dotf(emb_s, ws) + dotf(emb_t, wt) + b0
+    y0t = ln_silu(h0, ln0s, ln0b)
+    y1 = ln_silu(dotf(y0t.astype(msg_s.dtype), w1) + b1, ln1s, ln1b)
+    gates = (dotf(y1.astype(msg_s.dtype), w2) + b2).astype(msg_s.dtype)
+
+    half = sum(n_blocks) * c_in
+    goff = [0]
+    for nb in n_blocks:
+        goff.append(goff[-1] + nb * c_in)
+
+    def gated(msg, base):
+        pieces = [msg[:, : n_blocks[0] * c_in] * gates[:, base : base + goff[1]]]
+        moff = n_blocks[0] * c_in
+        for mi in range(1, len(n_blocks)):
+            g = gates[:, base + goff[mi] : base + goff[mi + 1]]
+            w = n_blocks[mi] * c_in
+            pieces.append(msg[:, moff : moff + w] * g)
+            pieces.append(msg[:, moff + w : moff + 2 * w] * g)
+            moff += 2 * w
+        return pieces
+
+    gs, gt = gated(msg_s, 0), gated(msg_t, half)
+    y0c = dotf(gs[0], conv_ws[0]) + dotf(gt[0], conv_ws[1]) + bm0
+    outs = [y0c[:, :extra], y0c[:, extra:]]
+    wi = 2
+    for mi in range(1, len(n_blocks)):
+        xp_s, xn_s, xp_t, xn_t = gs[2 * mi - 1], gs[2 * mi], gt[2 * mi - 1], gt[2 * mi]
+        kr_s, ki_s, kr_t, ki_t = conv_ws[wi : wi + 4]
+        wi += 4
+        outs.append(dotf(xp_s, kr_s) + dotf(xp_t, kr_t) - dotf(xn_s, ki_s) - dotf(xn_t, ki_t))
+        outs.append(dotf(xp_s, ki_s) + dotf(xp_t, ki_t) + dotf(xn_s, kr_s) + dotf(xn_t, kr_t))
+    return tuple(o.astype(msg_s.dtype) for o in outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_gauss", "cutoff", "width_scalar", "c_in", "c_out",
+                     "extra", "n_blocks", "tile_e", "interpret"),
+)
+def _attn_conv1_call(dist, mask, emb_s, emb_t, msg_s, msg_t, *flat_ws,
+                     num_gauss, cutoff, width_scalar, c_in, c_out, extra,
+                     n_blocks, tile_e, interpret):
+    m = dist.shape[0]
+    mp = _round_up(m, tile_e)
+    dt = msg_s.dtype
+
+    def pad(x):
+        return jnp.pad(x, ((0, mp - m),) + ((0, 0),) * (x.ndim - 1))
+
+    nb = len(n_blocks)
+    trunk_ws, conv_ws = flat_ws[:13], flat_ws[13:]
+    edge_args = [
+        pad(dist[:, None].astype(jnp.float32)),
+        pad(mask[:, None].astype(jnp.float32)),
+        pad(emb_s.astype(dt)),
+        pad(emb_t.astype(dt)),
+        pad(msg_s),
+        pad(msg_t),
+    ]
+
+    def espec(a):
+        w = a.shape[1]
+        return pl.BlockSpec((tile_e, w), lambda i: (i, 0))
+
+    edge_specs = [espec(a) for a in edge_args]
+    w_args = [jnp.asarray(w, dt) for w in trunk_ws] + [
+        jnp.asarray(w, dt) for w in conv_ws
+    ]
+    w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in w_args]
+
+    out_widths = [extra, n_blocks[0] * c_out] + [
+        n_blocks[mi] * c_out for mi in range(1, nb) for _ in range(2)
+    ]
+    kernel = functools.partial(
+        _attn_conv1_kernel,
+        num_gauss=num_gauss, cutoff=cutoff, width_scalar=width_scalar,
+        c_in=c_in, c_out=c_out, extra=extra, n_blocks=n_blocks,
+    )
+
+    def ospec(w):
+        return pl.BlockSpec((tile_e, w), lambda i: (i, 0))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(mp // tile_e,),
+        in_specs=edge_specs + w_specs,
+        out_specs=tuple(ospec(w) for w in out_widths),
+        out_shape=tuple(jax.ShapeDtypeStruct((mp, w), dt) for w in out_widths),
+        interpret=interpret,
+    )(*edge_args, *w_args)
+    return tuple(o[:m] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _attn_conv1_vjp(num_gauss, cutoff, width_scalar, c_in, c_out, extra,
+                    n_blocks, tile_e, interpret, dist, mask, emb_s, emb_t,
+                    msg_s, msg_t, *flat_ws):
+    return _attn_conv1_call(
+        dist, mask, emb_s, emb_t, msg_s, msg_t, *flat_ws,
+        num_gauss=num_gauss, cutoff=cutoff, width_scalar=width_scalar,
+        c_in=c_in, c_out=c_out, extra=extra, n_blocks=n_blocks,
+        tile_e=tile_e, interpret=interpret,
+    )
+
+
+def _attn_conv1_fwd(num_gauss, cutoff, width_scalar, c_in, c_out, extra,
+                    n_blocks, tile_e, interpret, dist, mask, emb_s, emb_t,
+                    msg_s, msg_t, *flat_ws):
+    out = _attn_conv1_vjp(
+        num_gauss, cutoff, width_scalar, c_in, c_out, extra, n_blocks,
+        tile_e, interpret, dist, mask, emb_s, emb_t, msg_s, msg_t, *flat_ws,
+    )
+    return out, (dist, mask, emb_s, emb_t, msg_s, msg_t, flat_ws)
+
+
+def _attn_conv1_bwd(num_gauss, cutoff, width_scalar, c_in, c_out, extra,
+                    n_blocks, tile_e, interpret, res, cts):
+    """Backward = XLA autodiff of the packed-layout reference (recompute)."""
+    import numpy as _np
+
+    dist, mask, emb_s, emb_t, msg_s, msg_t, flat_ws = res
+
+    def ref(es, et, ms, mt, *ws):
+        return _attn_conv1_ref(
+            dist, mask.astype(jnp.float32), es, et, ms, mt,
+            (ws[:13], ws[13:]),
+            num_gauss=num_gauss, cutoff=cutoff, width_scalar=width_scalar,
+            c_in=c_in, c_out=c_out, extra=extra, n_blocks=n_blocks,
+        )
+
+    _, vjp = jax.vjp(ref, emb_s, emb_t, msg_s, msg_t, *flat_ws)
+    grads = vjp(tuple(cts))
+    f0 = lambda a: _np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    # geometry inputs carry no gradient (see painn_message_fused contract)
+    return (jnp.zeros_like(dist), f0(mask)) + tuple(grads)
+
+
+_attn_conv1_vjp.defvjp(_attn_conv1_fwd, _attn_conv1_bwd)
+
+
+def eqv2_attn_conv1(dist, mask, emb_s, emb_t, msg_s, msg_t, rad_params,
+                    conv_params, *, lmax: int, mmax: int, c_out: int,
+                    extra: int, num_gauss: int, cutoff: float,
+                    width_scalar: float = 2.0, tile_e: int = 128,
+                    interpret: bool = False):
+    """Fused EquiformerV2 attention front half: gaussian distance basis ->
+    RadialFunction trunk -> per-m gates -> gated first SO(2) conv, one VMEM
+    pass (ref chain: transformer_block.py:258-340 + so2_ops.py:158-227).
+
+    The gaussian basis ([E, 600]), trunk intermediates and the [E, n_rad]
+    gate tensor never touch HBM; conv1 runs as per-m-block MXU matmuls with
+    the message halves contracted against their kernel column slices (the
+    _GroupLin tuple semantics).
+
+    dist/mask [...]; emb_s/emb_t [..., emb_dim] (embedded atom pairs);
+    msg_s/msg_t [..., n_act, C] truncated m-primary edge-frame messages.
+    rad_params: dict with dense_{0,1,2} kernel/bias and ln_{0,1} scale/bias
+    (the RadialFunction tree); conv_params: dict with fc_m0 kernel/bias and
+    fc_m{i}_{r,i} kernels (the SO2Conv tree).  Returns (h [..., n_act,
+    c_out], extra_out [..., extra]).  Differentiable w.r.t. embeddings,
+    messages and all weights (custom VJP = XLA recompute of the packed
+    reference); zero gradient to dist (geometry contract, see
+    painn_message_fused)."""
+    from adsorbdiff_tpu.models.so3 import m_primary_order
+
+    import numpy as _np
+
+    order, ranges = m_primary_order(lmax, mmax)
+    n_blocks = (ranges[0][1] - ranges[0][0],) + tuple(
+        ranges[1 + 2 * i][1] - ranges[1 + 2 * i][0] for i in range(mmax)
+    )
+    n_act = ranges[-1][1]
+    c = msg_s.shape[-1]
+    lead = msg_s.shape[:-2]
+    m = 1
+    for s in lead:
+        m *= s
+
+    # --- repack trunk weights: dense_0 rows split (gauss | emb_s | emb_t),
+    # dense_2 columns reordered from (block, n, c_in=2C interleaved) to
+    # [s-half | t-half] with per-half (block, n, C) n-major columns
+    e_dim = emb_s.shape[-1]
+    w0 = rad_params["dense_0"]["kernel"]
+    wg, ws, wt = w0[:num_gauss], w0[num_gauss : num_gauss + e_dim], w0[num_gauss + e_dim :]
+    w2 = rad_params["dense_2"]["kernel"]
+    n_rad = w2.shape[1]
+    perm = _np.zeros(n_rad, _np.int64)
+    halfw = n_rad // 2
+    oldoff = newoff = 0
+    for nb in n_blocks:
+        idx = _np.arange(nb * c)
+        n_i, ch = idx // c, idx % c
+        perm[newoff + idx] = oldoff + n_i * 2 * c + ch
+        perm[halfw + newoff + idx] = oldoff + n_i * 2 * c + c + ch
+        oldoff += nb * 2 * c
+        newoff += nb * c
+    w2p = w2[:, perm]
+    b2p = rad_params["dense_2"]["bias"][perm]
+
+    row2 = lambda a: a.reshape(1, -1)  # noqa: E731
+    trunk_ws = (
+        wg, ws, wt, row2(rad_params["dense_0"]["bias"]),
+        row2(rad_params["ln_0"]["scale"]), row2(rad_params["ln_0"]["bias"]),
+        rad_params["dense_1"]["kernel"], row2(rad_params["dense_1"]["bias"]),
+        row2(rad_params["ln_1"]["scale"]), row2(rad_params["ln_1"]["bias"]),
+        w2p, row2(b2p), row2(conv_params["fc_m0"]["bias"]),
+    )
+
+    # --- conv kernels: split the (n, c_global) rows into s (c < C) and
+    # t (c >= C) halves, n-major per half
+    def split_st(k, nb):
+        k3 = k.reshape(nb, 2 * c, -1)
+        return k3[:, :c].reshape(nb * c, -1), k3[:, c:].reshape(nb * c, -1)
+
+    conv_ws = list(split_st(conv_params["fc_m0"]["kernel"], n_blocks[0]))
+    for mi in range(1, len(n_blocks)):
+        kr_s, kr_t = split_st(conv_params[f"fc_m{mi}_r"]["kernel"], n_blocks[mi])
+        ki_s, ki_t = split_st(conv_params[f"fc_m{mi}_i"]["kernel"], n_blocks[mi])
+        conv_ws += [kr_s, ki_s, kr_t, ki_t]
+
+    outs = _attn_conv1_vjp(
+        num_gauss, cutoff, width_scalar, c, c_out, extra, n_blocks, tile_e,
+        interpret,
+        dist.reshape(-1), mask.reshape(-1),
+        emb_s.reshape(m, e_dim), emb_t.reshape(m, e_dim),
+        msg_s.reshape(m, n_act * c), msg_t.reshape(m, n_act * c),
+        *trunk_ws, *conv_ws,
+    )
+    extra_out = outs[0].reshape(lead + (extra,))
+    h = jnp.concatenate(
+        [o.reshape(lead + (-1, c_out)) for o in outs[1:]], axis=-2
+    )
+    return h, extra_out
+
+
+# ---------------------------------------------------------------------------
 # GemNet-OC fused masked-Legendre bases (relaxation-stage hot path)
 # ---------------------------------------------------------------------------
 def _legendre_cos_kernel(a_ref, bt_ref, keep_ref, o_ref, *, num_spherical, cells):

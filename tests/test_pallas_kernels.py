@@ -349,6 +349,47 @@ def test_eqv2_use_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
 
 
+def test_eqv2_attn_conv1_kernel_parity_and_grad():
+    """Fused basis+trunk+gates+conv1 (interpret): forward and parameter
+    gradients match the XLA SO2Conv path; the stand-in parameter tree is
+    path- and value-identical to the real submodules."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from tests.test_equiformer_v2 import TINY
+    from tests.test_painn import make_batch
+
+    batch = make_batch(np.random.default_rng(3))
+    m_x = EquiformerV2(**TINY, so3_denoising=True, for_denoising=False)
+    v = m_x.init(jax.random.PRNGKey(0), batch)
+
+    m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=False, use_pallas_conv1=True)
+    orig = pk.eqv2_attn_conv1
+    pk.eqv2_attn_conv1 = ft.partial(orig, interpret=True)
+    try:
+        v_p = m_p.init(jax.random.PRNGKey(0), batch)
+        flat_x = jax.tree_util.tree_flatten_with_path(v)[0]
+        flat_p = jax.tree_util.tree_flatten_with_path(v_p)[0]
+        assert {jax.tree_util.keystr(k) for k, _ in flat_x} == {
+            jax.tree_util.keystr(k) for k, _ in flat_p
+        }
+        for (_, a), (_, b) in zip(flat_x, flat_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        f_p = m_p.apply(v, batch)
+        g_p = jax.grad(lambda p: jnp.mean(m_p.apply(p, batch) ** 2))(v)
+    finally:
+        pk.eqv2_attn_conv1 = orig
+    f_x = m_x.apply(v, batch)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=5e-6, rtol=1e-4)
+    g_x = jax.grad(lambda p: jnp.mean(m_x.apply(p, batch) ** 2))(v)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=2e-3)
+
+
 def test_eqv2_use_pallas_grad_matches_xla():
     """Gradients through the fused rotation + S^2 kernels (interpret) match
     the XLA path — the use_pallas forward is trainable."""
