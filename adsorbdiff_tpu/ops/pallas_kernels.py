@@ -34,6 +34,81 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# dp sharding for the kernel ops (GSPMD cannot partition pallas custom-calls)
+# ---------------------------------------------------------------------------
+_PALLAS_MESH = None
+_PALLAS_AXIS = "dp"
+
+
+def set_pallas_mesh(mesh, axis_name: str = "dp") -> None:
+    """Declare the ambient data-parallel mesh for the fused kernels.
+
+    XLA's GSPMD partitioner treats a ``pallas_call`` as an opaque custom
+    call: under a multi-device mesh it REPLICATES the op, all-gathering its
+    operands (measured on the 8-device CPU mesh: an EqV2 forward with the
+    kernels went from 3 all-gathers to 221 + 102 collective-permutes).  Every
+    kernel op here is embarrassingly parallel over the leading system axis,
+    so with a mesh declared the public wrappers run themselves inside a
+    ``jax.shard_map`` island — per-shard pallas calls, zero collectives,
+    replicated-weight cotangents psummed by shard_map's transpose rule (the
+    scaling-book recipe: GSPMD for the program, shard_map for custom
+    kernels).  Set by the trainer / pipeline when they build their mesh;
+    ops fall back to the unsharded call when the batch axis does not divide
+    by the mesh (e.g. single-system utilities in the same process).
+    """
+    global _PALLAS_MESH, _PALLAS_AXIS
+    _PALLAS_MESH = mesh
+    _PALLAS_AXIS = axis_name
+
+
+def _dp_sharded(n_batch_args: int):
+    """Decorator: run the op per-dp-shard under the ambient mesh (if any).
+
+    The first ``n_batch_args`` positional args shard on their leading axis
+    (``P(axis)``); everything else (weight arrays / param trees) replicates.
+    """
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            mesh, axis = _PALLAS_MESH, _PALLAS_AXIS
+            if mesh is None or int(mesh.shape[axis]) <= 1:
+                return fn(*args, **kwargs)
+            n = int(mesh.shape[axis])
+            lead = args[0].shape[0]
+            if lead % n != 0:
+                return fn(*args, **kwargs)
+            from jax.sharding import PartitionSpec as P
+
+            # only array pytrees ride through shard_map as operands;
+            # python scalars/strings (static config) are closed over
+            def is_operand(a):
+                leaves = jax.tree_util.tree_leaves(a)
+                return bool(leaves) and all(
+                    hasattr(l, "shape") and hasattr(l, "dtype") for l in leaves
+                )
+
+            op_idx = [i for i, a in enumerate(args) if is_operand(a)]
+            operands = [args[i] for i in op_idx]
+            specs = tuple(P(axis) if i < n_batch_args else P() for i in op_idx)
+
+            def local(*ops):
+                full = list(args)
+                for i, o in zip(op_idx, ops):
+                    full[i] = o
+                return fn(*full, **kwargs)
+
+            return jax.shard_map(
+                local, mesh=mesh, in_specs=specs, out_specs=P(axis),
+                check_vma=False,  # pallas out_shapes carry no vma annotation
+            )(*operands)
+
+        return wrapper
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
 # fused PaiNN message consumer
 # ---------------------------------------------------------------------------
 def _painn_message_kernel(
@@ -310,6 +385,7 @@ def _painn_message_fused_kernel(
         dvec_ref[0, 0, :, d * h : (d + 1) * h] = contrib
 
 
+@_dp_sharded(6)
 def painn_message_fused(
     xh: jnp.ndarray,  # [B, N, 3H] node features (bf16 recommended)
     vec: jnp.ndarray,  # [B, N, 3H] node vec features (3,H flattened)
@@ -731,6 +807,7 @@ def _painn_message_tiled_kernel(
         dvec_ref[0, :, d * h : (d + 1) * h] = contrib
 
 
+@_dp_sharded(5)
 @functools.partial(jax.jit, static_argnames=("cutoff", "envelope_exponent", "ti"))
 def painn_message_consumer_tiled(
     dist: jnp.ndarray,  # [M, K]
@@ -888,6 +965,7 @@ def _s2_act_call(x, to_grid, from_grid, tile_m, interpret):
     )(x, to_grid, from_grid)
 
 
+@_dp_sharded(1)
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
 def s2_grid_silu(h, to_grid_m, from_grid_m, tile_m: int = 512, interpret: bool = False):
     """Fused ``from_grid @ silu(to_grid @ h)`` over the coefficient axis.
@@ -1070,6 +1148,7 @@ def _edge_rot_bwd(lmax, mmax, n_sel, direction, tile, interpret, res, ct):
 _edge_rot_vjp.defvjp(_edge_rot_fwd, _edge_rot_bwd)
 
 
+@_dp_sharded(3)
 def eqv2_edge_rotate(x, gamma, beta, lmax: int, mmax: int, *, direction: str,
                      n_sel: int | None = None, tile_m: int = 4096,
                      interpret: bool = False):
@@ -1383,6 +1462,7 @@ def _attn_conv1_bwd(num_gauss, cutoff, width_scalar, c_in, c_out, extra,
 _attn_conv1_vjp.defvjp(_attn_conv1_fwd, _attn_conv1_bwd)
 
 
+@_dp_sharded(6)
 def eqv2_attn_conv1(dist, mask, emb_s, emb_t, msg_s, msg_t, rad_params,
                     conv_params, *, lmax: int, mmax: int, c_out: int,
                     extra: int, num_gauss: int, cutoff: float,

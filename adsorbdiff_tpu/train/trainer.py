@@ -105,6 +105,12 @@ class BaseTrainer:
                 n -= 1
             mesh = meshlib.make_mesh(n) if n > 1 else None
         self.mesh = mesh
+        if self.mesh is not None:
+            # pallas ops under a mesh run as per-shard shard_map islands —
+            # GSPMD would otherwise replicate them (see set_pallas_mesh)
+            from adsorbdiff_tpu.ops.pallas_kernels import set_pallas_mesh
+
+            set_pallas_mesh(self.mesh)
         self.optim_cfg = config["optim"]
         # ZeRO-3 parameter/optimizer/EMA sharding over the dp axis
         # (optim.fsdp: true); see parallel/mesh.py::fsdp_shardings

@@ -189,3 +189,67 @@ def test_fsdp_hlo_has_sharded_collectives():
     hlo = step.lower(t_fs.state, sharded, jax.random.PRNGKey(0)).compile().as_text()
     assert ("all-gather" in hlo) or ("all-to-all" in hlo), "fsdp param all-gather missing"
     assert ("reduce-scatter" in hlo) or ("all-reduce" in hlo), "fsdp grad reduction missing"
+
+
+def test_pallas_ops_shard_over_dp_mesh():
+    """Pallas kernels under a dp mesh: GSPMD cannot partition a pallas_call
+    (it replicates with all-gathers — measured 3 -> 221 on an EqV2 forward);
+    with set_pallas_mesh the op wrappers run as shard_map islands.  Asserts
+    (1) collective counts stay at the XLA baseline, (2) forward and gradient
+    parity with the single-device run, for both the EqV2 kernel family and
+    the PaiNN fused message kernel."""
+    import functools as ft
+
+    import jax.tree_util as jtu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from adsorbdiff_tpu.models.painn import PaiNN
+    from tests.test_equiformer_v2 import TINY
+
+    origs = {n: getattr(pk, n) for n in
+             ["s2_grid_silu", "eqv2_edge_rotate", "eqv2_attn_conv1"]}
+    for n, f in origs.items():
+        setattr(pk, n, ft.partial(f, interpret=True))
+    try:
+        batches = [_batch(2, seed=i) for i in range(2)]
+        batch = jtu.tree_map(lambda *xs: jnp.concatenate(xs, 0), *batches)
+        mesh = meshlib.make_mesh(2)
+        shard = NamedSharding(mesh, P("dp"))
+        batch_sh = jtu.tree_map(
+            lambda x: jax.device_put(x, shard) if x.ndim else x, batch
+        )
+
+        m = EquiformerV2(**TINY, so3_denoising=True, for_denoising=False,
+                         use_pallas=True, use_pallas_conv1=True)
+        v = m.init(jax.random.PRNGKey(0), batch)
+        loss = lambda p, b: jnp.mean(m.apply(p, b) ** 2)  # noqa: E731
+
+        pk.set_pallas_mesh(mesh)
+        hlo = jax.jit(m.apply).lower(v, batch_sh).compile().as_text()
+        assert hlo.count("all-gather") <= 8, hlo.count("all-gather")
+        assert hlo.count("collective-permute") == 0
+        out_sh = jax.jit(m.apply)(v, batch_sh)
+        g_sh = jax.jit(jax.grad(loss))(v, batch_sh)
+        pk.set_pallas_mesh(None)
+        out_1 = jax.jit(m.apply)(v, batch)
+        g_1 = jax.jit(jax.grad(loss))(v, batch)
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_1), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        mp = PaiNN(hidden_channels=32, num_layers=2, num_rbf=8, cutoff=6.0,
+                   max_neighbors=6, so3_denoising=False, use_pallas=True)
+        vp = mp.init(jax.random.PRNGKey(0), batch)
+        lossp = lambda p, b: jnp.mean(mp.apply(p, b) ** 2)  # noqa: E731
+        pk.set_pallas_mesh(mesh)
+        gp_sh = jax.jit(jax.grad(lossp))(vp, batch_sh)
+        pk.set_pallas_mesh(None)
+        gp_1 = jax.jit(jax.grad(lossp))(vp, batch)
+        for a, b in zip(jax.tree.leaves(gp_sh), jax.tree.leaves(gp_1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    finally:
+        pk.set_pallas_mesh(None)
+        for n, f in origs.items():
+            setattr(pk, n, f)
