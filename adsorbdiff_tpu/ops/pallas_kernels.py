@@ -1621,6 +1621,7 @@ def masked_legendre_cos(
     return y
 
 
+@_dp_sharded(3)
 def gemnet_cbf_basis(u, v, keep, num_spherical: int, out_dtype=jnp.float32,
                      interpret: bool = False):
     """Masked circular basis over pairwise angles of (already unit) vectors.
@@ -1640,6 +1641,7 @@ def gemnet_cbf_basis(u, v, keep, num_spherical: int, out_dtype=jnp.float32,
     return y.reshape(b, n, num_spherical, m_dim, k_dim)
 
 
+@_dp_sharded(3)
 def gemnet_quad_basis(n1, n2, keep, num_spherical: int, out_dtype=jnp.float32,
                       interpret: bool = False):
     """Masked dihedral Legendre basis for the GemNet-OC quad interaction.
