@@ -119,12 +119,13 @@ def test_grad_allreduce_in_hlo():
 
 
 # ----------------------------------------------------------------- FSDP/ZeRO-3
-def _make_trainer(batch_size, mesh, **optim_extra):
+def _make_trainer(batch_size, mesh, model_extra=None, **optim_extra):
     from adsorbdiff_tpu.train.trainer import DenoisingTrainer
 
     config = dict(
         model=dict(name="painn", hidden_channels=32, num_layers=2, num_rbf=8,
-                   cutoff=6.0, max_neighbors=12, so3_denoising=True, cell_reps=(1, 1, 0)),
+                   cutoff=6.0, max_neighbors=12, so3_denoising=True, cell_reps=(1, 1, 0),
+                   **(model_extra or {})),
         optim=dict(
             batch_size=batch_size, lr_initial=1e-3,
             scheduler="LambdaLR",
@@ -253,3 +254,29 @@ def test_pallas_ops_shard_over_dp_mesh():
         pk.set_pallas_mesh(None)
         for n, f in origs.items():
             setattr(pk, n, f)
+
+
+def test_fsdp_with_pallas_kernels_matches_xla_path():
+    """FSDP (ZeRO-3) + the fused PaiNN message kernel under the dp mesh:
+    the trainer declares the pallas mesh, the kernel runs as a shard_map
+    island inside the FSDP-sharded step (XLA all-gathers the replicated-spec
+    weights at the island boundary), and training semantics match the XLA
+    message path to f32 roundoff."""
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+
+    mesh = meshlib.make_mesh(8)
+    batch = _batch(8, seed=4)
+    try:
+        t_x = _make_trainer(8, mesh, fsdp=True, fsdp_min_size=64)
+        s_x, aux_x = _run_steps(t_x, batch)
+
+        t_p = _make_trainer(8, mesh, model_extra=dict(use_pallas=True),
+                            fsdp=True, fsdp_min_size=64)
+        s_p, aux_p = _run_steps(t_p, batch)
+    finally:
+        pk.set_pallas_mesh(None)
+
+    np.testing.assert_allclose(float(aux_p["loss"]), float(aux_x["loss"]), rtol=1e-4)
+    p_x = jax.device_get(s_x.params)
+    p_p = jax.device_get(s_p.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5), p_x, p_p)
