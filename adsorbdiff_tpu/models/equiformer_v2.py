@@ -541,17 +541,22 @@ class SO2Attention(nn.Module):
             # of the bf16 chain; docs/PERF.md round-3).  Accumulations that
             # need f32 (softmax, K-reduction) request it explicitly below.
             x = x.astype(cdt)
-        x_src = _gather_nodes_mm(x, nl.src)
         if self.use_pallas:
             # fused rotation chain: the [E, {1..2}dim, C] Dz/J intermediates
-            # stay in VMEM (ops/pallas_kernels.py::eqv2_edge_rotate)
-            from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
+            # stay in VMEM, and the source gather emits the kernel's
+            # coefficient-major layout directly (eqv2_gather_rotate_to) —
+            # the edge-major [E, dim, C] gather tensor never exists
+            from adsorbdiff_tpu.ops.pallas_kernels import (
+                eqv2_edge_rotate,
+                eqv2_gather_rotate_to,
+            )
 
-            msg_s = eqv2_edge_rotate(x_src, gamma, beta, self.lmax, self.mmax,
-                                     direction="to")
+            msg_s = eqv2_gather_rotate_to(x, nl.src, gamma, beta, self.lmax,
+                                          self.mmax)
             msg_t = eqv2_edge_rotate(x[:, :, None], gamma, beta, self.lmax,
                                      self.mmax, direction="to")
         else:
+            x_src = _gather_nodes_mm(x, nl.src)
             msg_s = rotate_to_edge_m(x_src, gamma, beta, self.lmax, self.mmax)
             # target half: broadcast over K happens inside the rotation at its
             # first per-edge elementwise stage (x enters node-level)

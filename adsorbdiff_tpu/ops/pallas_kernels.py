@@ -1148,6 +1148,55 @@ def _edge_rot_bwd(lmax, mmax, n_sel, direction, tile, interpret, res, ct):
 _edge_rot_vjp.defvjp(_edge_rot_fwd, _edge_rot_bwd)
 
 
+def _rotate_T(xT, gamma, beta, lead, c, lmax, mmax, n_sel, direction, tile_m,
+              interpret):
+    """Common tail: pad the coeff-major [r_in, M] input, expand the per-edge
+    angles over channels, run the fused chain, reshape back to [..., R, C]."""
+    dim = (lmax + 1) ** 2
+    dp = _round_up(dim, 8)
+    tm = xT.shape[1]
+    tile = min(tile_m, _round_up(tm, 128))
+    tmp = _round_up(tm, tile)
+    xT = jnp.pad(xT, ((0, dp - xT.shape[0]), (0, tmp - tm)))
+
+    def ang(a):
+        e = jnp.broadcast_to(a[..., None], lead + (c,)).reshape(1, -1)
+        return jnp.pad(e.astype(jnp.float32), ((0, 0), (0, tmp - tm)))
+
+    g_e, b_e = ang(gamma), ang(beta)
+    a1, a2 = (g_e, b_e) if direction == "to" else (b_e, g_e)
+    y = _edge_rot_vjp(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret)
+    r_out = n_sel if direction == "to" else dim
+    y = y[:r_out, :tm].reshape((r_out,) + lead + (c,))
+    return jnp.moveaxis(y, 0, -2)
+
+
+@_dp_sharded(4)
+def eqv2_gather_rotate_to(x, src, gamma, beta, lmax: int, mmax: int, *,
+                          n_sel: int | None = None, tile_m: int = 4096,
+                          interpret: bool = False):
+    """Source-node gather fused into the rotation's layout change.
+
+    x [B, N, dim, C] node coefficients; src [B, N, K] neighbor indices;
+    returns the rotated edge-frame messages [B, N, K, n_sel, C] — equal to
+    ``eqv2_edge_rotate(gather(x, src), ...)`` but the gather emits the
+    coefficient-major layout the kernel reads DIRECTLY (one one-hot
+    dot_general), so the [E, dim, C] edge-major tensor and its transpose
+    never exist in HBM.  Differentiable end-to-end (the gather einsum is
+    plain XLA; the rotation carries its custom VJP).
+    """
+    from adsorbdiff_tpu.models.so3 import n_act_rows
+
+    b, n, k = src.shape
+    dim, c = x.shape[-2], x.shape[-1]
+    if n_sel is None:
+        n_sel = n_act_rows(lmax, mmax)
+    oh = (src.reshape(b, n * k)[..., None] == jnp.arange(n)).astype(x.dtype)
+    xT = jnp.einsum("bem,bmic->ibec", oh, x).reshape(dim, -1)
+    return _rotate_T(xT, gamma, beta, (b, n, k), c, lmax, mmax, n_sel, "to",
+                     tile_m, interpret)
+
+
 @_dp_sharded(3)
 def eqv2_edge_rotate(x, gamma, beta, lmax: int, mmax: int, *, direction: str,
                      n_sel: int | None = None, tile_m: int = 4096,
@@ -1171,30 +1220,14 @@ def eqv2_edge_rotate(x, gamma, beta, lmax: int, mmax: int, *, direction: str,
     """
     from adsorbdiff_tpu.models.so3 import n_act_rows
 
-    dim = (lmax + 1) ** 2
-    dp = _round_up(dim, 8)
     if n_sel is None:
         n_sel = n_act_rows(lmax, mmax)
     lead = jnp.broadcast_shapes(x.shape[:-2], gamma.shape)
     x = jnp.broadcast_to(x, lead + x.shape[-2:])
     c = x.shape[-1]
-    r_in = x.shape[-2]
-    xT = jnp.moveaxis(x, -2, 0).reshape(r_in, -1)
-    tm = xT.shape[1]
-    tile = min(tile_m, _round_up(tm, 128))
-    tmp = _round_up(tm, tile)
-    xT = jnp.pad(xT, ((0, dp - r_in), (0, tmp - tm)))
-
-    def ang(a):
-        e = jnp.broadcast_to(a[..., None], lead + (c,)).reshape(1, -1)
-        return jnp.pad(e.astype(jnp.float32), ((0, 0), (0, tmp - tm)))
-
-    g_e, b_e = ang(gamma), ang(beta)
-    a1, a2 = (g_e, b_e) if direction == "to" else (b_e, g_e)
-    y = _edge_rot_vjp(xT, a1, a2, lmax, mmax, n_sel, direction, tile, interpret)
-    r_out = n_sel if direction == "to" else dim
-    y = y[:r_out, :tm].reshape((r_out,) + lead + (c,))
-    return jnp.moveaxis(y, 0, -2)
+    xT = jnp.moveaxis(x, -2, 0).reshape(x.shape[-2], -1)
+    return _rotate_T(xT, gamma, beta, tuple(lead), c, lmax, mmax, n_sel,
+                     direction, tile_m, interpret)
 
 
 # ---------------------------------------------------------------------------

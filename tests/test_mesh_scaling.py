@@ -210,7 +210,8 @@ def test_pallas_ops_shard_over_dp_mesh():
     from tests.test_equiformer_v2 import TINY
 
     origs = {n: getattr(pk, n) for n in
-             ["s2_grid_silu", "eqv2_edge_rotate", "eqv2_attn_conv1"]}
+             ["s2_grid_silu", "eqv2_edge_rotate", "eqv2_gather_rotate_to",
+              "eqv2_attn_conv1"]}
     for n, f in origs.items():
         setattr(pk, n, ft.partial(f, interpret=True))
     try:

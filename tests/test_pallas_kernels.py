@@ -337,14 +337,17 @@ def test_eqv2_use_pallas_matches_xla():
 
     orig = pk.s2_grid_silu
     orig_rot = pk.eqv2_edge_rotate
+    orig_gr = pk.eqv2_gather_rotate_to
     pk.s2_grid_silu = ft.partial(orig, interpret=True)
     pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
+    pk.eqv2_gather_rotate_to = ft.partial(orig_gr, interpret=True)
     try:
         m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, use_pallas=True)
         f1_p, f2_p = m_p.apply(v, batch)
     finally:
         pk.s2_grid_silu = orig
         pk.eqv2_edge_rotate = orig_rot
+        pk.eqv2_gather_rotate_to = orig_gr
     np.testing.assert_allclose(np.asarray(f1_p), np.asarray(f1_x), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
 
@@ -416,13 +419,16 @@ def test_eqv2_use_pallas_grad_matches_xla():
 
     g_x = loss_fn(m_x)
     orig_s2, orig_rot = pk.s2_grid_silu, pk.eqv2_edge_rotate
+    orig_gr = pk.eqv2_gather_rotate_to
     pk.s2_grid_silu = ft.partial(orig_s2, interpret=True)
     pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
+    pk.eqv2_gather_rotate_to = ft.partial(orig_gr, interpret=True)
     try:
         g_p = loss_fn(EquiformerV2(**TINY, so3_denoising=True, for_denoising=False, use_pallas=True))
     finally:
         pk.s2_grid_silu = orig_s2
         pk.eqv2_edge_rotate = orig_rot
+        pk.eqv2_gather_rotate_to = orig_gr
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-3)
 
