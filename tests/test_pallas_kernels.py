@@ -491,3 +491,57 @@ def test_gemnet_use_pallas_matches_xla():
         np.testing.assert_allclose(
             np.asarray(o_p[k]), np.asarray(o_x[k]), atol=5e-6, rtol=1e-5
         )
+
+
+def test_eqv2_kernels_large_geometry():
+    """Kernel family at the EqV2-153M geometry (lmax=6, mmax=3): rotation
+    parity at the op level and full-model use_pallas(+conv1) parity."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    import adsorbdiff_tpu.ops.pallas_kernels as pk
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from adsorbdiff_tpu.models.so3 import n_act_rows, rotate_from_edge_m, rotate_to_edge_m
+    from tests.test_painn import make_batch
+
+    lmax, mmax, c = 6, 3, 8
+    rng = np.random.default_rng(0)
+    b, n, k = 2, 5, 4
+    x = jnp.asarray(rng.normal(size=(b, n, k, (lmax + 1) ** 2, c)), jnp.float32)
+    g = jnp.asarray(rng.uniform(-3, 3, (b, n, k)), jnp.float32)
+    be = jnp.asarray(rng.uniform(0, 3, (b, n, k)), jnp.float32)
+    na = n_act_rows(lmax, mmax)
+    got = pk.eqv2_edge_rotate(x, g, be, lmax, mmax, direction="to", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(rotate_to_edge_m(x, g, be, lmax, mmax)), atol=2e-6
+    )
+    v = jnp.asarray(rng.normal(size=(b, n, k, na, c)), jnp.float32)
+    got_f = pk.eqv2_edge_rotate(v, g, be, lmax, mmax, direction="from", n_sel=na, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_f), np.asarray(rotate_from_edge_m(v, g, be, lmax, mmax)), atol=2e-6
+    )
+
+    kw = dict(
+        num_layers=1, sphere_channels=8, attn_hidden_channels=8, num_heads=2,
+        attn_alpha_channels=4, attn_value_channels=4, ffn_hidden_channels=8,
+        lmax=lmax, mmax=mmax, grid_resolution=14, edge_channels=8,
+        num_distance_basis=16, cutoff=6.0, max_neighbors=6, cell_reps=(1, 1, 0),
+        so3_denoising=True, for_denoising=False,
+    )
+    batch = make_batch(np.random.default_rng(3))
+    m_x = EquiformerV2(**kw)
+    var = m_x.init(jax.random.PRNGKey(0), batch)
+    f_x = m_x.apply(var, batch)
+    origs = {nm: getattr(pk, nm) for nm in
+             ["s2_grid_silu", "eqv2_edge_rotate", "eqv2_gather_rotate_to", "eqv2_attn_conv1"]}
+    for nm, fn in origs.items():
+        setattr(pk, nm, ft.partial(fn, interpret=True))
+    try:
+        m_p = EquiformerV2(**kw, use_pallas=True, use_pallas_conv1=True)
+        f_p = m_p.apply(var, batch)
+    finally:
+        for nm, fn in origs.items():
+            setattr(pk, nm, fn)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-5, rtol=1e-4)
