@@ -394,15 +394,28 @@ class BaseTrainer:
                 metrics = self.evaluator.update("loss", loss, metrics)
             return True
 
+        prefetch_depth = int(self.optim_cfg.get("prefetch_depth", 2))
         for epoch in range(start_epoch, max_epochs):
             self.train_batcher.set_epoch(epoch)
             skip_steps = self.step % n_iter
-            for i, batch in enumerate(self.train_batcher):
+            batches: Any = self.train_batcher
+            if prefetch_depth > 0:
+                # collation + host->device transfer of batch t+1 overlap the
+                # device step on batch t (data/prefetch.py)
+                from adsorbdiff_tpu.data.prefetch import Prefetcher
+
+                batches = Prefetcher(
+                    self.train_batcher,
+                    lambda b: meshlib.shard_batch(b, self.mesh),
+                    depth=prefetch_depth,
+                )
+            for i, batch in enumerate(batches):
                 if i < skip_steps:
                     continue
                 self.epoch = epoch + (i + 1) / n_iter
                 self.step = epoch * n_iter + i + 1
-                batch = meshlib.shard_batch(batch, self.mesh)
+                if prefetch_depth <= 0:
+                    batch = meshlib.shard_batch(batch, self.mesh)
                 step_fn = self._get_step_fn(batch)
                 key = jax.random.fold_in(root_key, self.step)
                 self.state, aux = step_fn(self.state, batch, key)

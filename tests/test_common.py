@@ -94,3 +94,25 @@ def test_registry_state():
     assert registry.get("k") == 42
     registry.unregister("k")
     assert registry.get("k") is None
+
+
+def test_prefetcher_order_transform_and_errors():
+    """Background prefetcher yields the source sequence in order with the
+    transform applied, and re-raises worker exceptions on the consumer."""
+    from adsorbdiff_tpu.data.prefetch import Prefetcher
+
+    items = list(range(20))
+    got = list(Prefetcher(items, transform=lambda x: x * 2, depth=3))
+    assert got == [x * 2 for x in items]
+
+    def boom():
+        yield 1
+        raise ValueError("worker failed")
+
+    p = Prefetcher(boom())
+    it = iter(p)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="worker failed"):
+        list(it)
