@@ -139,9 +139,12 @@ def iter_lmdb_systems(src: str) -> Iterator[System]:
         try:
             import lmdb
         except ImportError:
-            from adsorbdiff_tpu.data.lmdbio import LmdbReader
+            # dependency-free path: the native C++ reader (mmap + in-C index,
+            # data/lmdb_native.py) when a compiler is around, else the pure-
+            # python B+tree walker; both stream record-at-a-time
+            from adsorbdiff_tpu.data.lmdb_native import open_best_reader
 
-            with LmdbReader(path) as reader:
+            with open_best_reader(path) as reader:
                 for key in _sorted_record_keys(reader.keys()):
                     yield _data_to_system(loads_pyg(reader.get(key)))
             continue

@@ -240,3 +240,42 @@ def test_lmdbio_multilevel_branches(tmp_path):
             k, v = items[i]
             assert r.get(k) == v
         assert r.get(b"999999") is None
+
+
+def test_native_reader_matches_python_reader(tmp_path):
+    """C++ mmap reader (runtime/native/lmdbread.cc) == pure-python LmdbReader
+    on the committed OC20 fixture and on a generated multi-level tree with
+    overflow values; point lookups and key scans agree."""
+    import numpy as np
+
+    from adsorbdiff_tpu.data.lmdb_native import NativeLmdbReader
+    from adsorbdiff_tpu.data.lmdbio import LmdbReader, write_lmdb
+
+    try:
+        r_c = NativeLmdbReader("tests/fixtures/oc20_2sys.lmdb")
+    except OSError:
+        import pytest
+
+        pytest.skip("no compiler for the native reader in this environment")
+    with LmdbReader("tests/fixtures/oc20_2sys.lmdb") as r_py:
+        assert list(r_c.items()) == list(r_py.items())
+        assert r_c.psize == r_py.psize
+    r_c.close()
+
+    rng = np.random.default_rng(0)
+    items = [
+        (str(i).encode(), bytes(rng.integers(0, 256, int(rng.integers(5, 40)), dtype=np.uint8)))
+        for i in range(2500)
+    ] + [
+        (f"big{i}".encode(), bytes(rng.integers(0, 256, 8000 + 900 * i, dtype=np.uint8)))
+        for i in range(6)
+    ]
+    path = str(tmp_path / "nat.lmdb")
+    write_lmdb(path, items)
+    with LmdbReader(path) as r_py, NativeLmdbReader(path, chunk_records=97) as r_c:
+        a, b = list(r_py.items()), list(r_c.items())
+        assert a == b and len(a) == 2506
+        assert list(r_c.keys()) == [k for k, _ in a]
+        for k, v in a[::251]:
+            assert r_c.get(k) == v
+        assert r_c.get(b"missing") is None
