@@ -10,9 +10,9 @@ issuing it from a worker thread one step ahead hides the transfer entirely
 behind the previous device step; the GIL is released during the copy.
 
 Depth 2 (double buffering) is enough: deeper queues only add host memory.
-If the consumer abandons iteration early the daemon worker parks on the
-bounded queue and is reclaimed at process exit — fine for epoch loops that
-break on divergence.
+Abandoning the iterator early (generator close / break / early return, e.g.
+the trainer's NaN-loss stop) signals the worker and drains the queue, so
+no device-resident batches stay pinned behind a parked ``q.put``.
 """
 from __future__ import annotations
 
@@ -34,22 +34,42 @@ class Prefetcher:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._depth)
         stop = object()
+        cancel = threading.Event()
         err: list = []
+
+        def put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker() -> None:
             try:
                 for item in self._iterable:
-                    q.put(self._transform(item) if self._transform else item)
+                    if not put(self._transform(item) if self._transform else item):
+                        return
             except BaseException as e:  # re-raised on the consumer thread
                 err.append(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         threading.Thread(target=worker, daemon=True, name="batch-prefetch").start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # early exit: release the worker and drop queued (device) buffers
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

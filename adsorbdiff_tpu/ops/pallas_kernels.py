@@ -38,6 +38,7 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 _PALLAS_MESH = None
 _PALLAS_AXIS = "dp"
+_WARNED_INDIVISIBLE = False
 
 
 def set_pallas_mesh(mesh, axis_name: str = "dp") -> None:
@@ -77,6 +78,20 @@ def _dp_sharded(n_batch_args: int):
             n = int(mesh.shape[axis])
             lead = args[0].shape[0]
             if lead % n != 0:
+                # GSPMD will replicate the pallas call on this path (measured
+                # 3 -> 221 all-gathers) — make the cliff observable once
+                global _WARNED_INDIVISIBLE
+                if not _WARNED_INDIVISIBLE:
+                    _WARNED_INDIVISIBLE = True
+                    import logging
+
+                    logging.warning(
+                        f"pallas op {fn.__name__}: leading dim {lead} does not "
+                        f"divide the {n}-device '{axis}' mesh; falling back to "
+                        "the GSPMD path, which REPLICATES pallas calls — pad "
+                        "the batch to a multiple of the mesh for multi-chip "
+                        "kernel performance"
+                    )
                 return fn(*args, **kwargs)
             from jax.sharding import PartitionSpec as P
 

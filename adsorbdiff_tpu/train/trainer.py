@@ -105,12 +105,13 @@ class BaseTrainer:
                 n -= 1
             mesh = meshlib.make_mesh(n) if n > 1 else None
         self.mesh = mesh
-        if self.mesh is not None:
-            # pallas ops under a mesh run as per-shard shard_map islands —
-            # GSPMD would otherwise replicate them (see set_pallas_mesh)
-            from adsorbdiff_tpu.ops.pallas_kernels import set_pallas_mesh
+        # pallas ops under a mesh run as per-shard shard_map islands — GSPMD
+        # would otherwise replicate them (see set_pallas_mesh).  Always set
+        # (including None) so a single-device trainer clears any stale mesh a
+        # previous multi-device trainer left in this process.
+        from adsorbdiff_tpu.ops.pallas_kernels import set_pallas_mesh
 
-            set_pallas_mesh(self.mesh)
+        set_pallas_mesh(self.mesh)
         self.optim_cfg = config["optim"]
         # ZeRO-3 parameter/optimizer/EMA sharding over the dp axis
         # (optim.fsdp: true); see parallel/mesh.py::fsdp_shardings
@@ -395,23 +396,29 @@ class BaseTrainer:
             return True
 
         prefetch_depth = int(self.optim_cfg.get("prefetch_depth", 2))
+
+        def _indexed_batches(source, skip):
+            # enumerate + skip BEFORE any device transfer, so a mid-epoch
+            # resume doesn't device_put the batches it then discards
+            for i, b in enumerate(source):
+                if i >= skip:
+                    yield i, b
+
         for epoch in range(start_epoch, max_epochs):
             self.train_batcher.set_epoch(epoch)
             skip_steps = self.step % n_iter
-            batches: Any = self.train_batcher
+            batches: Any = _indexed_batches(self.train_batcher, skip_steps)
             if prefetch_depth > 0:
                 # collation + host->device transfer of batch t+1 overlap the
                 # device step on batch t (data/prefetch.py)
                 from adsorbdiff_tpu.data.prefetch import Prefetcher
 
                 batches = Prefetcher(
-                    self.train_batcher,
-                    lambda b: meshlib.shard_batch(b, self.mesh),
+                    batches,
+                    lambda t: (t[0], meshlib.shard_batch(t[1], self.mesh)),
                     depth=prefetch_depth,
                 )
-            for i, batch in enumerate(batches):
-                if i < skip_steps:
-                    continue
+            for i, batch in batches:
                 self.epoch = epoch + (i + 1) / n_iter
                 self.step = epoch * n_iter + i + 1
                 if prefetch_depth <= 0:

@@ -116,3 +116,28 @@ def test_prefetcher_order_transform_and_errors():
 
     with pytest.raises(ValueError, match="worker failed"):
         list(it)
+
+
+def test_prefetcher_early_exit_releases_worker():
+    """Abandoning iteration mid-stream signals the worker (no thread parked
+    holding queued batches)."""
+    import threading
+    import time
+
+    from adsorbdiff_tpu.data.prefetch import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = iter(Prefetcher(gen(), depth=2))
+    assert next(it) == 0
+    it.close()  # early exit
+    time.sleep(0.6)
+    n_after = len(produced)
+    time.sleep(0.4)
+    assert len(produced) == n_after, "worker kept producing after close"
+    assert not any(t.name == "batch-prefetch" and t.is_alive() for t in threading.enumerate())

@@ -248,16 +248,17 @@ def test_native_reader_matches_python_reader(tmp_path):
     overflow values; point lookups and key scans agree."""
     import numpy as np
 
+    import pytest
+
+    from adsorbdiff_tpu.data import lmdb_native
     from adsorbdiff_tpu.data.lmdb_native import NativeLmdbReader
     from adsorbdiff_tpu.data.lmdbio import LmdbReader, write_lmdb
 
-    try:
-        r_c = NativeLmdbReader("tests/fixtures/oc20_2sys.lmdb")
-    except OSError:
-        import pytest
-
+    if lmdb_native._load_lib() is None:
         pytest.skip("no compiler for the native reader in this environment")
-    with LmdbReader("tests/fixtures/oc20_2sys.lmdb") as r_py:
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "oc20_2sys.lmdb")
+    r_c = NativeLmdbReader(fixture)  # a parse failure here must FAIL, not skip
+    with LmdbReader(fixture) as r_py:
         assert list(r_c.items()) == list(r_py.items())
         assert r_c.psize == r_py.psize
     r_c.close()
