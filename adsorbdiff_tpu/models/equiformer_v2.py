@@ -553,6 +553,12 @@ class SO2Attention(nn.Module):
 
             msg_s = eqv2_gather_rotate_to(x, nl.src, gamma, beta, self.lmax,
                                           self.mmax)
+            # known tradeoff: the target half materializes the K-broadcast
+            # [B,N,K,dim,C] input (~82 MB bf16 at published size) — the
+            # kernel's elementwise Dz stages need edge-level columns, and
+            # expanding node-level columns K-fold in-VMEM is a cross-lane
+            # op Mosaic forbids; a k-major axis redesign through the whole
+            # attention would avoid it for ~1 ms/instance (not taken)
             msg_t = eqv2_edge_rotate(x[:, :, None], gamma, beta, self.lmax,
                                      self.mmax, direction="to")
         else:
