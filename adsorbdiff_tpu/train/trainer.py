@@ -596,8 +596,10 @@ class DenoisingTrainer(BaseTrainer):
         metrics: Dict[str, Any] = {}
         key = jax.random.PRNGKey(self.seed + 1)
         losses = []  # device scalars; ONE readback at the end (tunnel RTT)
-        for i, batch in enumerate(batcher):
-            batch = meshlib.shard_batch(batch, self.mesh)
+        from adsorbdiff_tpu.data.prefetch import Prefetcher
+
+        batches = Prefetcher(batcher, lambda b: meshlib.shard_batch(b, self.mesh))
+        for i, batch in enumerate(batches):
             loss, aux = eval_step(self.state, batch, jax.random.fold_in(key, i))
             losses.append(loss)
         if losses:
@@ -781,8 +783,10 @@ class S2EFTrainer(BaseTrainer):
         eval_free = bool(self.task_cfg.get("eval_on_free_atoms", True))
         evaluator = Evaluator(task="s2ef")
         metrics: Dict[str, Any] = {}
-        for batch in batcher:
-            batch = meshlib.shard_batch(batch, self.mesh)
+        from adsorbdiff_tpu.data.prefetch import Prefetcher
+
+        batches = Prefetcher(batcher, lambda b: meshlib.shard_batch(b, self.mesh))
+        for batch in batches:
             energy, forces = self._predict(batch)
             m = np.asarray(batch.free_mask if eval_free else batch.atom_mask)
             pred = {"energy": np.asarray(energy), "forces": np.asarray(forces)[m], "natoms": m.sum(1)}
