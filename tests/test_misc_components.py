@@ -189,3 +189,38 @@ def test_radial_basis_variants(rng):
     v = m.init(jax.random.PRNGKey(0), d)
     leaves = jax.tree.leaves(v["params"])
     assert len(leaves) == 1 and leaves[0].shape == ()
+
+
+def test_element_embedding_tables():
+    """The packaged khot/qmof/continuous tables (assets/element_embeddings.npz)
+    expose the reference dict API (ref: models/embeddings/__init__.py) with
+    physically-correct entries."""
+    from adsorbdiff_tpu.models import embeddings as emb
+
+    khot = emb.KHOT_EMBEDDINGS
+    qmof = emb.QMOF_KHOT_EMBEDDINGS
+    cont = emb.CONTINUOUS_EMBEDDINGS
+
+    assert set(khot) == set(range(1, 101))
+    assert all(len(v) == 92 for v in khot.values())
+    assert set(qmof) == set(range(1, 104))
+    assert all(len(v) == 72 for v in qmof.values())
+    assert max(cont) == 100 and all(len(v) == 9 for v in cont.values())
+
+    # k-hot rows are {0,1}-valued
+    assert set(np.unique(np.asarray(list(khot.values())))) == {0.0, 1.0}
+    assert set(np.unique(np.asarray(list(qmof.values())))) == {0.0, 1.0}
+
+    # hydrogen continuous row: group, period, electronegativity, covalent
+    # radius (pm), valence electrons, first IE (eV), EA (eV), block, volume
+    h = cont[1]
+    assert h[0] == 1 and h[1] == 1
+    assert abs(h[2] - 2.19) < 0.02           # Pauling electronegativity
+    assert abs(h[5] - 13.598) < 0.01         # first ionization energy
+    assert abs(h[6] - 0.754) < 0.01          # electron affinity
+    # gold: group 11, period 6
+    assert cont[79][0] == 11 and cont[79][1] == 6
+
+    # ATOMIC_RADII is consumed by the denoising models; reference dict API,
+    # picometers (ref: models/embeddings/atomic_radii.py: 6 -> 70.0)
+    assert emb.ATOMIC_RADII[6] == 70.0 and emb.ATOMIC_RADII[1] == 25.0
