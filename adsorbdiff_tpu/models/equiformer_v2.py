@@ -490,7 +490,8 @@ class SO2Attention(nn.Module):
     grid_res: int = 18
     alpha_drop: float = 0.0
     training: bool = False
-    use_pallas: bool = False
+    use_pallas: bool = False  # fused S^2-activation kernel
+    use_pallas_rotate: bool = False  # fused edge-frame rotation kernels
     use_pallas_conv1: bool = False  # fused trunk+gates+conv1 kernel
     cutoff: float = 12.0
     num_gauss: int = 600
@@ -541,7 +542,7 @@ class SO2Attention(nn.Module):
             # of the bf16 chain; docs/PERF.md round-3).  Accumulations that
             # need f32 (softmax, K-reduction) request it explicitly below.
             x = x.astype(cdt)
-        if self.use_pallas:
+        if self.use_pallas_rotate:
             # fused rotation chain: the [E, {1..2}dim, C] Dz/J intermediates
             # stay in VMEM, and the source gather emits the kernel's
             # coefficient-major layout directly (eqv2_gather_rotate_to) —
@@ -651,7 +652,7 @@ class SO2Attention(nn.Module):
         # accumulation over K even when the chain runs bf16)
         attn_c = jnp.repeat(attn, self.attn_value, axis=-1)  # [B,N,K,H*V]
         v = v * attn_c[..., None, :].astype(v.dtype)
-        if self.use_pallas:
+        if self.use_pallas_rotate:
             from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
 
             v_rot = eqv2_edge_rotate(v, gamma, beta, self.lmax, self.mmax,
@@ -701,6 +702,9 @@ class EquiformerV2(nn.Module):
     proj_drop: float = 0.0
     training: bool = False
     use_pallas: bool = False  # fused S^2-activation kernel in the attention
+    use_pallas_rotate: bool = False  # fused edge-frame rotation kernels (TPU
+    # A/B measured these SLOWER than the XLA decomposed chain at published
+    # size — see docs/PERF.md round-3 late; kept for small-E regimes)
     use_pallas_conv1: bool = False  # fused basis+trunk+gates+conv1 kernel
     compute_dtype: Optional[str] = None  # "bfloat16": SO(2)-conv + grid-FFN
     # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)
@@ -789,7 +793,7 @@ class EquiformerV2(nn.Module):
             rad_trunk + (n0 * self.sphere_channels,), name="edge_degree_rad_func"
         )(x_edge0)
         deg = deg.reshape(deg.shape[:-1] + (n0, self.sphere_channels))
-        if self.use_pallas:
+        if self.use_pallas_rotate:
             from adsorbdiff_tpu.ops.pallas_kernels import eqv2_edge_rotate
 
             deg_full = eqv2_edge_rotate(deg, gamma, beta_e, self.lmax, self.mmax,
@@ -809,6 +813,7 @@ class EquiformerV2(nn.Module):
                 self.sphere_channels, self.max_num_elements, rad_trunk,
                 grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
                 training=self.training, use_pallas=self.use_pallas,
+                use_pallas_rotate=self.use_pallas_rotate,
                 use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
                 num_gauss=self.num_distance_basis, name=f"attn_{i}",
             )(y, z, nl, gamma, beta_e, edge_gauss, dist=dist)
@@ -827,6 +832,7 @@ class EquiformerV2(nn.Module):
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
                 use_pallas=self.use_pallas,
+                use_pallas_rotate=self.use_pallas_rotate,
                 use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
                 num_gauss=self.num_distance_basis, name=f"force_block{tag}",
             )(x, z, nl, gamma, beta_e, edge_gauss, dist=dist)

@@ -54,9 +54,9 @@ def timeit(fwd, label):
 
 variants = [
     ("bf16-xla", dict(compute_dtype="bfloat16")),
-    ("bf16+s2+rot", dict(compute_dtype="bfloat16", use_pallas=True)),
-    ("bf16+s2+rot+conv1", dict(compute_dtype="bfloat16", use_pallas=True, use_pallas_conv1=True)),
-    ("f32+s2+rot+conv1", dict(use_pallas=True, use_pallas_conv1=True)),
+    ("bf16+s2", dict(compute_dtype="bfloat16", use_pallas=True)),
+    ("bf16+s2+rot", dict(compute_dtype="bfloat16", use_pallas=True, use_pallas_rotate=True)),
+    ("bf16+s2+conv1", dict(compute_dtype="bfloat16", use_pallas=True, use_pallas_conv1=True)),
 ]
 fwds, times = {}, {}
 for label, kw in variants:

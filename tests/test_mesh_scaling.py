@@ -224,7 +224,7 @@ def test_pallas_ops_shard_over_dp_mesh():
         )
 
         m = EquiformerV2(**TINY, so3_denoising=True, for_denoising=False,
-                         use_pallas=True, use_pallas_conv1=True)
+                         use_pallas=True, use_pallas_rotate=True, use_pallas_conv1=True)
         v = m.init(jax.random.PRNGKey(0), batch)
         loss = lambda p, b: jnp.mean(m.apply(p, b) ** 2)  # noqa: E731
 

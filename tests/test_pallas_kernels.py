@@ -342,7 +342,8 @@ def test_eqv2_use_pallas_matches_xla():
     pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
     pk.eqv2_gather_rotate_to = ft.partial(orig_gr, interpret=True)
     try:
-        m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, use_pallas=True)
+        m_p = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True,
+                           use_pallas=True, use_pallas_rotate=True)
         f1_p, f2_p = m_p.apply(v, batch)
     finally:
         pk.s2_grid_silu = orig
@@ -424,7 +425,8 @@ def test_eqv2_use_pallas_grad_matches_xla():
     pk.eqv2_edge_rotate = ft.partial(orig_rot, interpret=True)
     pk.eqv2_gather_rotate_to = ft.partial(orig_gr, interpret=True)
     try:
-        g_p = loss_fn(EquiformerV2(**TINY, so3_denoising=True, for_denoising=False, use_pallas=True))
+        g_p = loss_fn(EquiformerV2(**TINY, so3_denoising=True, for_denoising=False,
+                                   use_pallas=True, use_pallas_rotate=True))
     finally:
         pk.s2_grid_silu = orig_s2
         pk.eqv2_edge_rotate = orig_rot
@@ -539,7 +541,8 @@ def test_eqv2_kernels_large_geometry():
     for nm, fn in origs.items():
         setattr(pk, nm, ft.partial(fn, interpret=True))
     try:
-        m_p = EquiformerV2(**kw, use_pallas=True, use_pallas_conv1=True)
+        m_p = EquiformerV2(**kw, use_pallas=True, use_pallas_rotate=True,
+                           use_pallas_conv1=True)
         f_p = m_p.apply(var, batch)
     finally:
         for nm, fn in origs.items():
