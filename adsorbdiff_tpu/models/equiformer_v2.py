@@ -695,6 +695,7 @@ class EquiformerV2(nn.Module):
     subtract_atomic_radii: bool = True  # denoising variant edge-distance offset
     radii_pm_bug_compat: bool = False  # replicate ref: raw-pm radii subtraction
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
+    max_ads: int = 16  # static bound on adsorbate atoms (incremental graphs)
     avg_degree: float = _AVG_DEGREE
     avg_num_nodes: float = _AVG_NUM_NODES
     alpha_drop: float = 0.0
@@ -724,16 +725,26 @@ class EquiformerV2(nn.Module):
             y = y * m.astype(y.dtype) / keep
         return y
 
+    def prepare_static(self, batch: AtomsBatch):
+        """Hoist the slab-slab neighbor candidates out of a sampling loop
+        (see :func:`adsorbdiff_tpu.models.base.prepare_static_graph`)."""
+        from adsorbdiff_tpu.models.base import prepare_static_graph
+
+        return prepare_static_graph(
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+        )
+
     @nn.compact
-    def __call__(self, batch: AtomsBatch):
+    def __call__(self, batch: AtomsBatch, static_graph=None):
         with compute_dtype_scope(self.compute_dtype):
-            out = self._forward(batch)
+            out = self._forward(batch, static_graph)
         return jax.tree.map(lambda x: x.astype(jnp.float32), out)
 
-    def _forward(self, batch: AtomsBatch):
+    def _forward(self, batch: AtomsBatch, static_graph=None):
         dim = (self.lmax + 1) ** 2
         nl, dist, unit = generate_graph(
-            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps,
+            static_graph=static_graph, max_ads=self.max_ads,
         )
         z = jnp.clip(batch.atomic_numbers, 0, self.max_num_elements - 1)
 

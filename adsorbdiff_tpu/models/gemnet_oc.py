@@ -296,6 +296,7 @@ class GemNetOC(nn.Module):
     symmetric_mp: bool = True  # reference hardcodes True (interaction_block.py:116-145)
     num_elements: int = 83
     cell_reps: Tuple[int, int, int] = (2, 2, 1)
+    max_ads: int = 16  # static bound on adsorbate atoms (incremental graphs)
     mode: str = "s2ef"  # "s2ef" | "denoising"
     so3_denoising: bool = True
     energy_encoding: Optional[str] = None
@@ -314,14 +315,36 @@ class GemNetOC(nn.Module):
             name=name,
         )
 
+    def prepare_static(self, batch: AtomsBatch):
+        """Hoist slab-slab neighbor candidates for all three sparse graphs
+        (main/aeaint/qint) out of a sampling loop; the dense a2a interaction
+        is position-direct and needs no caching.  See
+        :func:`adsorbdiff_tpu.models.base.prepare_static_graph`."""
+        from adsorbdiff_tpu.models.base import prepare_static_graph
+
+        return {
+            "main": prepare_static_graph(
+                batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+            ),
+            "aeaint": prepare_static_graph(
+                batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint,
+                cell_reps=self.cell_reps,
+            ),
+            "qint": prepare_static_graph(
+                batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint,
+                cell_reps=self.cell_reps,
+            ),
+        }
+
     @nn.compact
-    def __call__(self, batch: AtomsBatch):
+    def __call__(self, batch: AtomsBatch, static_graph=None):
         with compute_dtype_scope(self.compute_dtype):
-            out = self._forward(batch)
+            out = self._forward(batch, static_graph)
         # feature paths may run bf16; the contract is f32 outputs
         return jax.tree.map(lambda x: x.astype(jnp.float32), out)
 
-    def _forward(self, batch: AtomsBatch):
+    def _forward(self, batch: AtomsBatch, static_graph=None):
+        sg = static_graph or {}
         eps = 1e-9
         # geometry bases feeding the factorized bilinears are O(1)-ranged;
         # casting them keeps the big contractions in the compute dtype instead
@@ -329,16 +352,19 @@ class GemNetOC(nn.Module):
         cdt_cast = (lambda x: x.astype(compute_dtype())) if compute_dtype() else (lambda x: x)
         # ---------------- graphs (ref: get_graphs_and_indices :989-1123) ----
         nl, dist, unit = generate_graph(
-            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps,
+            static_graph=sg.get("main"), max_ads=self.max_ads,
         )
         emask = nl.mask  # [B, N, K1]
         # a2ee2a graph (atom-atom pairs for a2e / e2a triplets)
         nl_ae, dist_ae, unit_ae = generate_graph(
-            batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint, cell_reps=self.cell_reps
+            batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint, cell_reps=self.cell_reps,
+            static_graph=sg.get("aeaint"), max_ads=self.max_ads,
         )
         # qint graph restricted to qint_tags atoms (ref: gemnet_oc.py qint_tags)
         nl_q, dist_q, unit_q = generate_graph(
-            batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint, cell_reps=self.cell_reps
+            batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint, cell_reps=self.cell_reps,
+            static_graph=sg.get("qint"), max_ads=self.max_ads,
         )
         tagged = jnp.zeros_like(batch.tags, dtype=bool)
         for t in self.qint_tags:

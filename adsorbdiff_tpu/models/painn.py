@@ -249,6 +249,15 @@ class PaiNN(nn.Module):
     use_pallas: bool = False  # fused VMEM message kernel (gaussian/poly basis only)
     max_ads: int = 16  # static bound on adsorbate atoms (incremental graphs)
 
+    def prepare_static(self, batch: AtomsBatch):
+        """Hoist the slab-slab neighbor candidates out of a sampling loop
+        (see :func:`adsorbdiff_tpu.models.base.prepare_static_graph`)."""
+        from adsorbdiff_tpu.models.base import prepare_static_graph
+
+        return prepare_static_graph(
+            batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
+        )
+
     @nn.compact
     def __call__(self, batch: AtomsBatch, static_graph=None):
         # The Pallas message kernel recomputes the radial basis in-VMEM

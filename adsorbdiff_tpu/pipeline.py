@@ -83,7 +83,9 @@ def run_pipeline(
     denoise_params = denoising_pos_params or diffusion_trainer.denoising_pos_params
     # one engine pair across all seeds: jit caches are per batch shape and
     # must survive the seed loop
-    engine = DiffusionEngine(diffusion_trainer.score_fn, denoise_params)
+    engine = DiffusionEngine(
+        diffusion_trainer.score_fn, denoise_params, static_fn=diffusion_trainer.sampling_static_fn()
+    )
     rengine = RelaxationEngine(
         relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax
     )

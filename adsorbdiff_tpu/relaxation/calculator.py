@@ -104,14 +104,19 @@ class AdsorbDiffCalculator:
             assert self.checkpoint_path, "no denoising checkpoint configured"
             model, state = _load_model_state(self.checkpoint_path, example, sampling=True)
 
-            def score_fn(cur):
-                out = model.apply({"params": state.ema_params, "scale_factors": state.scale_factors}, cur)
+            def score_fn(cur, static_graph=None):
+                out = model.apply(
+                    {"params": state.ema_params, "scale_factors": state.scale_factors}, cur, static_graph
+                )
                 out1, out2 = out if isinstance(out, tuple) else (out, None)
                 if out2 is not None:
                     out2 = jnp.where(cur.fixed[..., None], 0.0, out2)
                 return out1, out2
 
-            self._diff = DiffusionEngine(score_fn, self.denoising_pos_params)
+            self._diff = DiffusionEngine(
+                score_fn, self.denoising_pos_params,
+                static_fn=getattr(model, "prepare_static", None),
+            )
         return self._diff
 
     def _mlff_fn(self, example: AtomsBatch):

@@ -60,10 +60,22 @@ class DiffusionEngine:
     """Jit-cached reverse-diffusion over batches (the Denoiser + ml_diffuse
     pair, ref: denoising_torch.py:18-84 + ml_relaxation.py:98-168)."""
 
-    def __init__(self, score_fn, denoising_pos_params: dict, sampler: str = "reverse_sde_rot") -> None:
+    def __init__(
+        self,
+        score_fn,
+        denoising_pos_params: dict,
+        sampler: str = "reverse_sde_rot",
+        static_fn: Optional[Callable] = None,
+    ) -> None:
+        """``static_fn``: optional ``batch -> static-graph`` precomputation
+        (e.g. ``model.prepare_static``) hoisted out of the sampling scan; when
+        given, ``score_fn`` is called as ``score_fn(batch, static)``.  Only
+        adsorbate atoms move during sampling, so the cached slab-slab graph
+        rows stay exact (tests/test_pbc.py parity)."""
         self.score_fn = score_fn
         self.params = dict(denoising_pos_params)
         self.sampler = sampler
+        self.static_fn = static_fn
         self._fns: Dict[Tuple[int, int], Callable] = {}
 
     def _fn(self, batch: AtomsBatch):
@@ -74,7 +86,8 @@ class DiffusionEngine:
             else:
                 with_rot = "rot_std_low" in self.params
                 f = lambda b, k: reverse_diffusion(  # noqa: E731
-                    self.score_fn, b, self.params, k, with_rotation=with_rot
+                    self.score_fn, b, self.params, k, with_rotation=with_rot,
+                    static_fn=self.static_fn,
                 )
             self._fns[key] = jax.jit(f)
         return self._fns[key]

@@ -632,15 +632,25 @@ class DenoisingTrainer(BaseTrainer):
             self._predict_fns[key] = self._make_predict_fn()
         return self._predict_fns[key](self.state, batch)
 
-    def score_fn(self, batch: AtomsBatch):
+    def score_fn(self, batch: AtomsBatch, static_graph=None):
         """Traceable score function for jitted samplers."""
         out = self.sampling_model.apply(
-            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors}, batch
+            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors},
+            batch, static_graph,
         )
         out1, out2 = (out if self.so3 else (out, None))
         if out2 is not None:
             out2 = jnp.where(batch.fixed[..., None], 0.0, out2)
         return out1, out2
+
+    def sampling_static_fn(self):
+        """``batch -> static-graph`` hoist for the sampling scan, or None.
+
+        Enabled by default (exact-same-table incremental graphs; disable with
+        ``task.incremental_graph: false``)."""
+        if not self.task_cfg.get("incremental_graph", True):
+            return None
+        return getattr(self.sampling_model, "prepare_static", None)
 
     def run_relaxations(self, split: str = "val") -> None:
         """Diffusion sampling over the relax dataset (ref: :750-951)."""
@@ -651,7 +661,7 @@ class DenoisingTrainer(BaseTrainer):
         ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")),
                       fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
-        engine = DiffusionEngine(self.score_fn, self.denoising_pos_params)
+        engine = DiffusionEngine(self.score_fn, self.denoising_pos_params, static_fn=self.sampling_static_fn())
         traj_dir = (self.task_cfg.get("relax_opt", {}) or {}).get("traj_dir")
         save_full = self.task_cfg.get("save_full_traj", True)
         write_pos = self.task_cfg.get("write_pos", False)

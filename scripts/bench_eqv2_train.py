@@ -69,8 +69,10 @@ def timeit(step, label):
 
 variants = [
     ("train bf16 xla", dict(compute_dtype="bfloat16", training=True, alpha_drop=0.1, drop_path_rate=0.05)),
-    ("train bf16 +kernels", dict(compute_dtype="bfloat16", training=True, alpha_drop=0.1,
-                                 drop_path_rate=0.05, use_pallas=True, use_pallas_conv1=True)),
+    ("train bf16 +s2+conv1", dict(compute_dtype="bfloat16", training=True, alpha_drop=0.1,
+                                  drop_path_rate=0.05, use_pallas=True, use_pallas_conv1=True)),
+    ("train bf16 +s2+rot", dict(compute_dtype="bfloat16", training=True, alpha_drop=0.1,
+                                drop_path_rate=0.05, use_pallas=True, use_pallas_rotate=True)),
 ]
 for label, kw in variants:
     m = EquiformerV2(**ekw, **kw)

@@ -231,3 +231,46 @@ def test_incremental_graph_model_parity(rng):
     inc = model.apply(variables, moved, static)
     np.testing.assert_allclose(np.asarray(inc[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(inc[1]), np.asarray(ref[1]), atol=1e-5, rtol=1e-5)
+
+
+def _moved_ads(rng, batch):
+    delta = np.zeros(batch.pos.shape, np.float32)
+    delta[np.asarray(batch.ads_mask)] = rng.normal(0, 0.8, (int(np.asarray(batch.ads_mask).sum()), 3))
+    return batch.replace(pos=batch.pos + jnp.asarray(delta))
+
+
+def test_incremental_graph_eqv2_parity(rng):
+    """EquiformerV2 forward with static_graph == without, after ads motion."""
+    from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
+    from tests.test_equiformer_v2 import TINY
+    from tests.test_painn import make_batch
+
+    model = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, max_ads=8)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    static = model.prepare_static(batch)
+    moved = _moved_ads(rng, batch)
+
+    ref = model.apply(variables, moved)
+    inc = model.apply(variables, moved, static)
+    np.testing.assert_allclose(np.asarray(inc[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(inc[1]), np.asarray(ref[1]), atol=1e-5, rtol=1e-5)
+
+
+def test_incremental_graph_gemnet_parity(rng):
+    """GemNet-OC forward with static_graph (3 sparse graphs) == without."""
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from tests.test_gemnet_oc import TINY
+    from tests.test_painn import make_batch
+
+    model = GemNetOC(**TINY, mode="denoising", so3_denoising=True, max_ads=8)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    static = model.prepare_static(batch)
+    assert set(static) == {"main", "aeaint", "qint"}
+    moved = _moved_ads(rng, batch)
+
+    ref = model.apply(variables, moved)
+    inc = model.apply(variables, moved, static)
+    np.testing.assert_allclose(np.asarray(inc[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(inc[1]), np.asarray(ref[1]), atol=1e-5, rtol=1e-5)
