@@ -128,3 +128,91 @@ def test_mean_ads_distance(tmp_path):
     target2 = target.copy()
     target2[-2:] += [0.3, 0.0, 0.0]
     assert mean_ads_distance(t, target2) == pytest.approx(0.3, abs=1e-5)
+
+
+OUTCAR_TEXT = """\
+ some header
+  free energy    TOTEN  =       -10.000 eV
+  FREE ENERGIE OF THE ION-ELECTRON SYSTEM (eV)
+  ---------------------------------------------------
+  free  energy   TOTEN  =      -100.12345678 eV
+
+  energy  without entropy=     -100.10000000  energy(sigma->0) =     -100.11172839
+  ... later ionic step ...
+  free  energy   TOTEN  =      -101.98765432 eV
+
+  energy  without entropy=     -101.95000000  energy(sigma->0) =     -101.96882716
+"""
+
+
+def test_read_outcar_energy(tmp_path):
+    from adsorbdiff_tpu.eval_tools import read_outcar_energy
+
+    p = tmp_path / "OUTCAR"
+    p.write_text(OUTCAR_TEXT)
+    # last ionic step wins; sigma->0 by default, TOTEN when force_consistent
+    assert read_outcar_energy(str(p)) == pytest.approx(-101.96882716)
+    assert read_outcar_energy(str(p), force_consistent=True) == pytest.approx(-101.98765432)
+
+
+def test_success_rate_from_outcars(tmp_path):
+    from adsorbdiff_tpu.eval_tools import min_energy_from_outcars, success_rate_from_outcars
+
+    # layout: <root>/vasp/{sid}_{fid}/OUTCAR with OC20-Dense style sids
+    for run, e in [("12_345_67_0", -5.0), ("12_345_67_1", -6.5), ("98_76_54_0", -2.0)]:
+        d = tmp_path / "vasp" / run
+        d.mkdir(parents=True)
+        (d / "OUTCAR").write_text(
+            f"  free  energy   TOTEN  =      {e - 0.01} eV\n"
+            f"  energy  without entropy=     {e}  energy(sigma->0) =     {e}\n"
+        )
+    ref = {"12_345_67": -1.0, "98_76_54": 0.0}
+    best = min_energy_from_outcars(str(tmp_path), ref_energies=ref)
+    assert best["12_345_67"][0] == pytest.approx(-5.5)  # -6.5 - (-1.0)
+    assert best["98_76_54"][0] == pytest.approx(-2.0)
+
+    dft = {"12_345_67": -5.55, "98_76_54": -3.0}
+    rate, per = success_rate_from_outcars(str(tmp_path), dft, ref_energies=ref)
+    assert per["12_345_67"] is True and per["98_76_54"] is False
+    assert rate == pytest.approx(0.5)
+
+
+def test_parse_sid_fid():
+    from adsorbdiff_tpu.eval_tools import parse_sid_fid
+
+    assert parse_sid_fid("12_345_67_3.traj") == ("12_345_67", "3")
+    assert parse_sid_fid("12_345_67.traj") == ("12_345_67", "0")
+    assert parse_sid_fid("/a/b/881.adtraj.npz") == ("881", "0")
+
+
+def test_success_rate_nsite_layout(tmp_path):
+    """<root>/<seed>/relaxations layout, the 3-stage pipeline output."""
+    from adsorbdiff_tpu.eval_tools import nsite_traj_dirs, success_rate_nsite
+
+    for seed, e in [(0, -1.0), (1, -3.0)]:
+        d = tmp_path / str(seed) / "relaxations"
+        d.mkdir(parents=True)
+        make_traj(d, 7, e)
+    assert len(nsite_traj_dirs(str(tmp_path))) == 2
+    rate, per = success_rate_nsite(str(tmp_path), {"7": -3.05})
+    assert per["7"] is True and rate == pytest.approx(1.0)
+
+
+def test_success_rate_from_npz(tmp_path):
+    """Energies from a predictions npz keyed {sid}_{fid}; anomalies from trajs."""
+    from adsorbdiff_tpu.eval_tools import success_rate_from_npz
+
+    d = tmp_path / "trajs"
+    d.mkdir()
+    make_traj(d, 5, +99.0)  # traj energy is IGNORED (npz wins)
+    make_traj(d, 6, -0.5, desorbed=True)  # anomalous -> filtered even with npz energy
+    np.savez(
+        tmp_path / "preds.npz",
+        ids=np.array(["5_0", "6_0"]),
+        energy=np.array([-4.0, -9.0], np.float32),
+    )
+    dft = {"5": -4.05, "6": -9.0}
+    rate, per = success_rate_from_npz(str(tmp_path / "preds.npz"), [str(d)], dft)
+    assert per["5"] is True  # npz energy -4.0 vs dft -4.05
+    assert per["6"] is False  # only candidate desorbed -> failure
+    assert rate == pytest.approx(0.5)
