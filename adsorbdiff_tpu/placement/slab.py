@@ -328,17 +328,17 @@ def find_surface_atoms_by_coordination(slab_atoms: Atoms, bulk_coordination: Opt
 
 
 def tag_surface_atoms(slab_atoms: Atoms, bulk_atoms: Optional[Atoms] = None) -> Atoms:
-    """Tag 1 = surface, 0 = subsurface (ref: slab.py:284-322)."""
+    """Tag 1 = surface, 0 = subsurface (ref: slab.py:284-322).
+
+    With ``bulk_atoms``, height tags are refined by the Voronoi weighted-CN
+    under-coordination rule (placement/voronoi.py — the reference's pymatgen
+    VoronoiNN method rebuilt on scipy.spatial)."""
+    from adsorbdiff_tpu.placement.voronoi import find_surface_atoms_with_voronoi_given_height
+
     out = slab_atoms.copy()
     tags = find_surface_atoms_by_height(out)
     if bulk_atoms is not None:
-        bulk_conn = connectivity_matrix(bulk_atoms.positions, bulk_atoms.numbers, bulk_atoms.cell)
-        bulk_coord = {}
-        numbers = np.asarray(bulk_atoms.numbers)
-        for z in np.unique(numbers):
-            bulk_coord[int(z)] = int(bulk_conn.sum(1)[numbers == z].max())
-        coord_tags = find_surface_atoms_by_coordination(out, bulk_coord)
-        tags = np.maximum(tags, coord_tags)
+        tags = find_surface_atoms_with_voronoi_given_height(bulk_atoms, out, tags)
     out.tags = tags
     return out
 

@@ -271,3 +271,79 @@ def test_adsorbate_db_pkl_matches_asset():
         np.testing.assert_array_equal(pkl[k][0].numbers, asset[k][0].numbers)
         assert pkl[k][1] == asset[k][1]
         assert list(np.atleast_1d(pkl[k][2])) == list(asset[k][2])
+
+
+# ---------------------------------------------------------------------------
+# Voronoi-refined surface tagging (ref: slab.py:385-483 via placement/voronoi)
+# ---------------------------------------------------------------------------
+
+
+def _fcc_bulk(a=3.61, z=29):
+    from adsorbdiff_tpu.runtime.atoms import Atoms
+
+    pos = np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]) * a
+    return Atoms(positions=pos, numbers=[z] * 4, cell=np.eye(3) * a)
+
+
+def _fcc111_slab(a=3.61, z=29, nxy=3, layers=4, vacancy=False):
+    """Ideal fcc(111) slab, ABC stacking, hexagonal surface cell."""
+    from adsorbdiff_tpu.runtime.atoms import Atoms
+
+    a_s = a / np.sqrt(2.0)  # surface lattice constant
+    dz = a / np.sqrt(3.0)  # interlayer spacing (2.08 A > the 2 A height rule)
+    a1 = np.array([a_s, 0.0, 0.0])
+    a2 = np.array([a_s / 2, a_s * np.sqrt(3) / 2, 0.0])
+    # ABC stacking offsets in units of the (1/3, 1/3) hollow shift
+    stack = [(0.0, 0.0), (1 / 3, 1 / 3), (2 / 3, 2 / 3)]
+    pos = []
+    for il in range(layers):
+        ox, oy = stack[il % 3]
+        for i in range(nxy):
+            for j in range(nxy):
+                p = (i + ox) * a1 + (j + oy) * a2
+                pos.append([p[0], p[1], il * dz])
+    pos = np.array(pos)
+    if vacancy:
+        pos = np.delete(pos, len(pos) - 1, axis=0)  # remove one TOP-layer atom
+    cell = np.array([nxy * a1, nxy * a2, [0, 0, (layers - 1) * dz + 15.0]])
+    return Atoms(positions=pos, numbers=[z] * len(pos), cell=cell)
+
+
+def test_voronoi_weighted_cn_bulk_lattices():
+    """Weighted CNs match pymatgen's VoronoiNN on the standard lattices."""
+    from adsorbdiff_tpu.placement.voronoi import voronoi_weighted_cns
+
+    fcc = _fcc_bulk()
+    np.testing.assert_allclose(voronoi_weighted_cns(fcc.positions, fcc.cell), 12.0, atol=1e-6)
+    a = 2.87  # bcc: 8 full facets + 6 second-shell facets of weight ~0.36
+    bcc = voronoi_weighted_cns(np.array([[0, 0, 0], [0.5, 0.5, 0.5]]) * a, np.eye(3) * a)
+    np.testing.assert_allclose(bcc, 10.16061, atol=1e-4)
+
+
+def test_voronoi_tags_match_height_on_ideal_fcc111():
+    """On a pristine fcc(111) slab the Voronoi refinement adds nothing: only
+    the top layer is under-coordinated and height already tags it."""
+    from adsorbdiff_tpu.placement.slab import tag_surface_atoms
+
+    slab = _fcc111_slab()
+    h = tag_surface_atoms(slab)
+    v = tag_surface_atoms(slab, bulk_atoms=_fcc_bulk())
+    np.testing.assert_array_equal(np.asarray(h.tags), np.asarray(v.tags))
+    assert np.asarray(v.tags).sum() == 9  # exactly the 9 top-layer atoms
+
+
+def test_voronoi_tags_subsurface_vacancy_fcc111():
+    """A top-layer vacancy exposes 3 under-coordinated 2nd-layer atoms 2.08 A
+    below the top — beyond the 2 A height rule, caught
+    only by the Voronoi under-coordination refinement (ref: slab.py:385-438)."""
+    from adsorbdiff_tpu.placement.slab import tag_surface_atoms
+
+    slab = _fcc111_slab(vacancy=True)
+    h = np.asarray(tag_surface_atoms(slab).tags)
+    v = np.asarray(tag_surface_atoms(slab, bulk_atoms=_fcc_bulk()).tags)
+    assert h.sum() == 8  # height: remaining top-layer atoms only
+    extra = v & ~h
+    assert extra.sum() == 3  # the 3 atoms that lost their neighbor above
+    # all newly tagged atoms are in the 2nd layer
+    second_layer = np.isclose(slab.positions[:, 2], slab.positions[:, 2].max() - 3.61 / np.sqrt(3))
+    assert all(second_layer[i] for i in np.where(extra)[0])
