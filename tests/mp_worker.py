@@ -1,0 +1,70 @@
+"""Worker for tests/test_multiprocess.py: one member of a 2-process x
+4-CPU-device cluster (gloo collectives through jax.distributed).
+
+Runs the SAME tiny-PaiNN DenoisingTrainer step + sampling scan as the
+single-process reference and prints replicated scalars for parity checks.
+Usage: python -m tests.mp_worker <process_id> <num_processes> <port>
+"""
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.setdefault("ADSORBDIFF_TPU_CACHE", os.path.join(os.path.dirname(__file__), "..", ".cache"))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from adsorbdiff_tpu.parallel import mesh as meshlib
+
+    # the process boundary under test: distutils.py:25-103 replacement
+    meshlib.init_distributed(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.device_count() == nproc * 4, jax.devices()
+    assert jax.local_device_count() == 4
+    assert meshlib.process_index() == pid
+    assert meshlib.is_master() == (pid == 0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adsorbdiff_tpu.diffusion.sampler import reverse_diffusion
+    from tests.test_mesh_scaling import _make_trainer
+    from tests.test_painn import make_batch
+
+    mesh = meshlib.make_mesh()  # spans both processes
+    trainer = _make_trainer(8, mesh)
+    batch = make_batch(np.random.default_rng(3), b=8)
+    trainer.init_state(batch)
+    # model.init left the state on local device 0; lift it to host values and
+    # re-place as a globally-replicated tree (identical on every process by
+    # construction: same seed, same example batch)
+    host_state = jax.tree.map(np.asarray, trainer.state)
+    trainer.state = meshlib.shard_tree(host_state, jax.tree.map(lambda _: meshlib.replicated(mesh), host_state))
+
+    sharded = meshlib.shard_batch(batch, mesh)
+    step = trainer._get_step_fn(sharded)
+    state, aux = step(trainer.state, sharded, jax.random.PRNGKey(7))
+    loss = float(jax.device_get(aux["loss"]))
+    trainer.state = state
+
+    params = dict(num_steps=8, ads_std_low=0.1, ads_std_high=10.0,
+                  rot_std_low=0.01, rot_std_high=1.55, ode=True)
+
+    def sample_stat(b, k):
+        pos = reverse_diffusion(trainer.score_fn, b, params, k).batch.pos
+        w = jnp.cos(jnp.arange(pos.size, dtype=jnp.float32).reshape(pos.shape))
+        return jnp.sum(pos * w)  # order-sensitive replicated checksum
+
+    stat = jax.jit(sample_stat)(sharded, jax.random.PRNGKey(11))
+    stat = float(jax.device_get(stat))
+    print(f"RESULT pid={pid} loss={loss:.10f} sample_stat={stat:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
