@@ -65,6 +65,68 @@ def build_conditional_train_set(
     return len(systems)
 
 
+def build_min_energy_subsplit(
+    traj_root: str,
+    out_dir: str,
+    skip_first: int = 200,
+    seed: int = 42,
+    num_shards: int = 1,
+    sid_list: Optional[Sequence[str]] = None,
+) -> int:
+    """Min-energy-config-per-sid train sub-split.
+
+    Rebuild of ``preprocess_train_lmdb_subsplits.py`` (ref: scripts/
+    create_lmdbs/preprocess_train_lmdb_subsplits.py:30-135): deterministically
+    shuffle the unique sid list (seed 42), drop the first ``skip_first``
+    systems (the reference's held-out sub-split, :133-134), and for each
+    remaining sid store ONLY the minimum-final-energy candidate trajectory
+    (:40-52) with positions/tags — no energy targets (r_energy=False, :146) —
+    chunked over ``num_shards`` output shards (:151-156).
+
+    ``traj_root/<sid>/*.adtraj.npz`` layout; returns the number of systems.
+    """
+    if sid_list is None:
+        sid_list = sorted(
+            os.path.basename(d)
+            for d in glob.glob(os.path.join(traj_root, "*"))
+            if os.path.isdir(d)
+        )
+    sid_list = list(sid_list)
+    rng = np.random.RandomState(seed)  # match the reference's np.random.seed(42)
+    rng.shuffle(sid_list)
+    sid_list = sid_list[skip_first:]
+
+    systems: List[System] = []
+    for sid in sid_list:
+        paths = sorted(glob.glob(os.path.join(traj_root, str(sid), f"*{SUFFIX}")))
+        # reference skips the bare surface trajectory (:37 glob *[!surface].traj)
+        paths = [p for p in paths if not os.path.basename(p).split(".")[0].endswith("surface")]
+        trajs = [Trajectory.load(p) for p in paths]
+        trajs = [t for t in trajs if t.energy is not None]
+        if not trajs:
+            continue
+        best = min(trajs, key=lambda t: float(t.energy[-1]))
+        pos = best.positions[-1]
+        systems.append(
+            System(
+                pos=pos,
+                atomic_numbers=best.numbers,
+                tags=best.tags,
+                fixed=best.fixed,
+                cell=best.cell,
+                sid=best.sid,
+                fid=0,
+                pos_relaxed=pos,
+            )
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    for i, chunk in enumerate(np.array_split(np.arange(len(systems)), max(num_shards, 1))):
+        if len(chunk) == 0:
+            continue
+        write_shard(os.path.join(out_dir, "data.%04d" % i), [systems[j] for j in chunk])
+    return len(systems)
+
+
 def build_placement_dataset(
     adslab_configs: Sequence,
     out_path: str,

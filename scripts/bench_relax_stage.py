@@ -7,6 +7,7 @@ dominant contractions, and either lift the stage or write the roofline
 argument.  Chained-dependency timing (see docs/PERF.md methodology).
 
     BENCH_B=8 BENCH_STEPS=100 python scripts/bench_relax_stage.py
+    BENCH_B=8,16,32,64 BENCH_DTYPES=bf16 ...   # occupancy scaling curve
     BENCH_TRACE=/tmp/relax_trace python scripts/bench_relax_stage.py  # + profiler
 """
 import os
@@ -26,42 +27,46 @@ def main() -> None:
     from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
     from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax, make_mlff_energy_forces
 
-    b = int(os.environ.get("BENCH_B", "8"))
+    b_list = [int(x) for x in os.environ.get("BENCH_B", "8").split(",")]
     steps = int(os.environ.get("BENCH_STEPS", "100"))
     trace_dir = os.environ.get("BENCH_TRACE")
-    batch = example_batch(b)
-    print(f"devices: {jax.devices()}  B={b} steps={steps}")
+    print(f"devices: {jax.devices()}  B={b_list} steps={steps}")
 
     use_pallas = bool(os.environ.get("BENCH_PALLAS"))
+    dtypes = os.environ.get("BENCH_DTYPES", "f32,bf16").split(",")
     tag = " pallas" if use_pallas else ""
-    for label, cd in ((f"relax{tag} f32", None), (f"relax{tag} bf16", "bfloat16")):
-        model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas)
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-        ef = make_mlff_energy_forces(model, variables)
-        run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))
-        res = run(batch)
-        _ = jax.device_get(res.energy[0])  # warm + fence
+    for b in b_list:
+        batch = example_batch(b)
+        for dname in dtypes:
+            cd = None if dname == "f32" else "bfloat16"
+            label = f"relax{tag} {dname} B={b}"
+            model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+            ef = make_mlff_energy_forces(model, variables)
+            run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))
+            res = run(batch)
+            _ = jax.device_get(res.energy[0])  # warm + fence
 
-        def timed(reps):
-            bb = batch
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                r = run(bb)
-                bb = bb.replace(pos=bb.pos + jnp.mean(r.energy) * 1e-12)
-            _ = jax.device_get(r.energy[0])
-            return time.perf_counter() - t0
-
-        t1, t3 = timed(1), timed(3)
-        dt = (t3 - t1) / 2
-        sps = b * steps / dt
-        print(f"{label}: {dt:.2f} s per {steps}-step batch of {b} = "
-              f"{sps:.1f} system-steps/s ({dt / steps * 1000:.1f} ms/step)")
-
-        if trace_dir and cd is None:
-            with jax.profiler.trace(trace_dir):
-                r = run(batch)
+            def timed(reps):
+                bb = batch
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    r = run(bb)
+                    bb = bb.replace(pos=bb.pos + jnp.mean(r.energy) * 1e-12)
                 _ = jax.device_get(r.energy[0])
-            print(f"trace written to {trace_dir}")
+                return time.perf_counter() - t0
+
+            t1, t3 = timed(1), timed(3)
+            dt = (t3 - t1) / 2
+            sps = b * steps / dt
+            print(f"{label}: {dt:.2f} s per {steps}-step batch of {b} = "
+                  f"{sps:.1f} system-steps/s ({dt / steps * 1000:.1f} ms/step)", flush=True)
+
+            if trace_dir and cd is None:
+                with jax.profiler.trace(trace_dir):
+                    r = run(batch)
+                    _ = jax.device_get(r.energy[0])
+                print(f"trace written to {trace_dir}")
 
 
 if __name__ == "__main__":

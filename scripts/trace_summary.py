@@ -1,6 +1,6 @@
-"""Summarize a jax.profiler trace: per-op device time, grouped.
+"""Summarize a jax.profiler trace: per-op device time, plus a grouped rollup.
 
-Usage:  python scripts/trace_summary.py /tmp/eqv2_trace_r3e [--top 40] [--group]
+Usage:  python scripts/trace_summary.py /tmp/eqv2_trace_r3e [--top 40]
 
 Reads the newest ``plugins/profile/*/``**``.trace.json.gz`` under the given
 directory (the TensorBoard-format trace ``jax.profiler.trace`` writes),
@@ -52,8 +52,13 @@ GROUPS = [
 
 
 def main() -> None:
-    root = sys.argv[1] if len(sys.argv) > 1 else "./profile"
-    top = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 40
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", nargs="?", default="./profile", help="trace directory")
+    ap.add_argument("--top", type=int, default=40, help="rows in the per-op table")
+    args = ap.parse_args()
+    root, top = args.root, args.top
     path = newest_trace(root)
     with gzip.open(path, "rt") as f:
         data = json.load(f)

@@ -81,3 +81,30 @@ def test_vasp_inputs(tmp_path, rng):
     assert "ENCUT = 350.0" in incar and "LWAVE = .FALSE." in incar
     cmds = launch_vasp([str(tmp_path / "vasp")])
     assert cmds[0].startswith("cd ") and "vasp_std" in cmds[0]
+
+
+def test_min_energy_subsplit(tmp_path, rng):
+    """ref: preprocess_train_lmdb_subsplits.py — min-E config per sid, shuffled
+    sub-split selection, surface trajs excluded, no energy targets."""
+    from adsorbdiff_tpu.dataset_prep import build_min_energy_subsplit
+
+    root, energies = make_traj_tree(tmp_path, rng)
+    # a bare-surface traj that must be ignored (ref glob *[!surface].traj)
+    d0 = tmp_path / "trajs" / "0"
+    Trajectory(
+        positions=np.zeros((1, 8, 3), np.float32), numbers=np.full(8, 29),
+        cell=np.eye(3, dtype=np.float32) * 8, tags=np.zeros(8, np.int64),
+        fixed=np.zeros(8, bool), energy=np.array([-99.0], np.float32), sid=0,
+    ).save(str(d0 / "0_surface"))
+
+    out = tmp_path / "sub"
+    n = build_min_energy_subsplit(root, str(out), skip_first=0, num_shards=2)
+    assert n == 2  # one (min-E) entry per sid; surface traj NOT the -99 winner
+    ds = ShardDataset({"src": str(out)})
+    got = {ds[i].sid: ds[i] for i in range(len(ds))}
+    assert set(got) == {0, 1}
+    assert got[0].energy is None or got[0].energy == 0.0  # no conditional target
+
+    # skip_first drops systems after the seeded shuffle
+    n1 = build_min_energy_subsplit(root, str(tmp_path / "sub1"), skip_first=1)
+    assert n1 == 1
