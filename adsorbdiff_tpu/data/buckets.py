@@ -13,6 +13,16 @@ packing problem:
 - within a bucket, batches are drawn shuffled per epoch (seeded), and the
   device axis receives ``B = batch_size_per_device * num_devices`` systems —
   equal per-device system counts by construction.
+
+``mode="neighbors"`` is the reference's second balancing metric
+(data_parallel.py:72 ``{"atoms": "natoms", "neighbors": "neighbors"}``):
+buckets are formed on per-system neighbor counts (precomputed, see
+:func:`adsorbdiff_tpu.data.metadata.neighbor_counts`) so batches are
+edge-work-homogeneous; each bucket still pads atoms to its own max.  Note
+per-DEVICE balance needs no runtime work here: every system in a bucket runs
+the same padded [N, K] program, so equal system counts = equal device work —
+the all_gather + greedy ``balanced_partition`` the reference performs every
+step (:176-200) has nothing left to balance.
 """
 from __future__ import annotations
 
@@ -46,20 +56,49 @@ class BucketedBatcher:
         seed: int = 0,
         drop_last: bool = False,
         with_forces: bool = False,
+        mode: str = "atoms",
+        sizes: Optional[np.ndarray] = None,
+        num_buckets: int = 4,
     ) -> None:
+        if mode not in ("atoms", "neighbors"):
+            raise ValueError(f"mode must be 'atoms' or 'neighbors', got {mode!r}")
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.with_forces = with_forces
+        self.mode = mode
         natoms = np.asarray(dataset.natoms_array())
-        self.bucket_edges = list(bucket_edges) if bucket_edges is not None else default_bucket_edges(natoms)
-        self._bucket_of = np.searchsorted(self.bucket_edges, natoms)
-        if (self._bucket_of >= len(self.bucket_edges)).any():
-            raise ValueError(
-                f"system with {natoms.max()} atoms exceeds largest bucket edge {self.bucket_edges[-1]}"
-            )
+        if mode == "neighbors":
+            if sizes is None:
+                raise ValueError(
+                    "mode='neighbors' needs per-system neighbor counts; compute "
+                    "them once with adsorbdiff_tpu.data.metadata.neighbor_counts"
+                )
+            sizes = np.asarray(sizes)
+            if len(sizes) != len(natoms):
+                raise ValueError(f"sizes length {len(sizes)} != dataset length {len(natoms)}")
+            if len(sizes):
+                qs = np.quantile(sizes, np.linspace(1.0 / num_buckets, 1.0, num_buckets))
+                size_edges = sorted(set(int(q) for q in qs))
+                size_edges[-1] = max(size_edges[-1], int(sizes.max()))
+            else:
+                size_edges = [0]
+            self._bucket_of = np.searchsorted(size_edges, sizes)
+            # each neighbor bucket pads atoms to its own (lane-rounded) max
+            self.bucket_edges = [
+                int(-(-int(natoms[self._bucket_of == b].max()) // 8) * 8)
+                if (self._bucket_of == b).any() else 8
+                for b in range(len(size_edges))
+            ]
+        else:
+            self.bucket_edges = list(bucket_edges) if bucket_edges is not None else default_bucket_edges(natoms)
+            self._bucket_of = np.searchsorted(self.bucket_edges, natoms)
+            if (self._bucket_of >= len(self.bucket_edges)).any():
+                raise ValueError(
+                    f"system with {natoms.max()} atoms exceeds largest bucket edge {self.bucket_edges[-1]}"
+                )
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:

@@ -22,6 +22,39 @@ def uses_extensive(targets: np.ndarray, natoms: np.ndarray) -> bool:
     return bool(pa_cv < raw_cv)
 
 
+def neighbor_counts(
+    dataset,
+    cutoff: float = 12.0,
+    max_neighbors: int = 50,
+    reps=(2, 2, 0),
+    limit: Optional[int] = None,
+) -> np.ndarray:
+    """Per-system neighbor (edge) counts under (cutoff, max_neighbors) — the
+    'neighbors' sizes array the reference precomputes offline for its
+    BalancedBatchSampler (ref: datasets/data_parallel.py:72 'neighbors' key;
+    generated there by scripts/make_lmdb_sizes.py).  Brute-force numpy
+    min-image over the in-plane periodic images; run once and cache."""
+    n = len(dataset) if limit is None else min(len(dataset), limit)
+    counts = np.zeros(n, np.int64)
+    offs = [
+        (i, j, k)
+        for i in range(-reps[0], reps[0] + 1)
+        for j in range(-reps[1], reps[1] + 1)
+        for k in range(-reps[2], reps[2] + 1)
+    ]
+    for i in range(n):
+        s = dataset[i]
+        pos = np.asarray(s.pos, np.float64)
+        cell = np.asarray(s.cell, np.float64)
+        per_target = np.zeros(len(pos), np.int64)
+        for off in offs:
+            shift = off[0] * cell[0] + off[1] * cell[1] + off[2] * cell[2]
+            d2 = ((pos[:, None, :] - (pos[None, :, :] + shift)) ** 2).sum(-1)
+            per_target += ((d2 <= cutoff * cutoff) & (d2 > 1e-8)).sum(1)
+        counts[i] = int(np.minimum(per_target, max_neighbors).sum())
+    return counts
+
+
 def guess_target_metadata(dataset, num_samples: int = 100) -> Dict[str, dict]:
     """Inspect up to ``num_samples`` systems and describe the targets."""
     n = min(len(dataset), num_samples)

@@ -704,8 +704,9 @@ class EquiformerV2(nn.Module):
     training: bool = False
     use_pallas: bool = False  # fused S^2-activation kernel in the attention
     use_pallas_rotate: bool = False  # fused edge-frame rotation kernels (TPU
-    # A/B measured these SLOWER than the XLA decomposed chain at published
-    # size — see docs/PERF.md round-3 late; kept for small-E regimes)
+    # A/B at published size B=8 bf16: 89.5 -> 161.1 ms/fwd, 93.6 -> 134.6
+    # ms/train-step — SLOWER than the XLA decomposed chain; see docs/PERF.md
+    # round-4.  Kept for small-E regimes)
     use_pallas_conv1: bool = False  # fused basis+trunk+gates+conv1 kernel
     compute_dtype: Optional[str] = None  # "bfloat16": SO(2)-conv + grid-FFN
     # matmuls in bf16 (params, geometry/Wigner math and norms stay f32)

@@ -161,16 +161,18 @@ class RelaxationEngine:
 def ml_diffuse(batch: AtomsBatch, trainer, denoising_pos_params: dict, key, traj_dir=None, save_full_traj=True):
     """Functional facade matching the reference call site (ml_relaxation.py:98)."""
 
-    def score_fn(cur):
+    def score_fn(cur, static_graph=None):
         out = trainer.sampling_model.apply(
-            {"params": trainer.state.ema_params, "scale_factors": trainer.state.scale_factors}, cur
+            {"params": trainer.state.ema_params, "scale_factors": trainer.state.scale_factors},
+            cur, static_graph,
         )
         out1, out2 = out if isinstance(out, tuple) else (out, None)
         if out2 is not None:
             out2 = jnp.where(cur.fixed[..., None], 0.0, out2)
         return out1, out2
 
-    engine = DiffusionEngine(score_fn, denoising_pos_params)
+    static_fn = trainer.sampling_static_fn() if hasattr(trainer, "sampling_static_fn") else None
+    engine = DiffusionEngine(score_fn, denoising_pos_params, static_fn=static_fn)
     res = engine.run(batch, key, traj_dir=traj_dir, save_full_traj=save_full_traj)
     return None if res is None else res.batch
 

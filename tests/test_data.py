@@ -90,3 +90,29 @@ def test_bucket_edges_multiple_of_8():
     edges = default_bucket_edges(np.array([3, 10, 50, 200]))
     assert all(e % 8 == 0 for e in edges)
     assert edges[-1] >= 200
+
+
+def test_bucketed_batcher_neighbor_mode(tmp_path, rng):
+    """mode='neighbors' buckets on precomputed edge counts
+    (ref: data_parallel.py:72 'neighbors' sizes) and pads atoms per bucket."""
+    from adsorbdiff_tpu.data.metadata import neighbor_counts
+
+    systems = [rand_system(rng, int(n), sid=i) for i, n in enumerate(rng.integers(4, 60, 24))]
+    write_shard(str(tmp_path / "d"), systems)
+    ds = ShardDataset({"src": str(tmp_path / "d")})
+    sizes = neighbor_counts(ds, cutoff=6.0, max_neighbors=12, reps=(1, 1, 0))
+    assert len(sizes) == 24 and (sizes >= 0).all()
+
+    batcher = BucketedBatcher(ds, batch_size=4, mode="neighbors", sizes=sizes, seed=0)
+    seen = set()
+    for batch in batcher:
+        assert batch.pos.shape[0] == 4
+        assert batch.pos.shape[1] % 8 == 0
+        assert int(np.asarray(batch.natoms).max()) <= batch.pos.shape[1]
+        seen.update(int(s) for s in np.asarray(batch.sid))
+    assert seen == set(range(24))
+
+    with pytest.raises(ValueError):
+        BucketedBatcher(ds, batch_size=4, mode="neighbors")  # sizes required
+    with pytest.raises(ValueError):
+        BucketedBatcher(ds, batch_size=4, mode="edges")
