@@ -56,9 +56,19 @@ def lbfgs_relax(
     damping: float = 1.0,
     alpha: float = 70.0,
     energy_forces_fn_final: Optional[EnergyForcesFn] = None,
+    early_exit: bool = True,
 ) -> LBFGSResult:
     """Run batched L-BFGS (defaults = the published relaxation config,
-    ref: configs/denoising/painn_so3.yml:18-27)."""
+    ref: configs/denoising/painn_so3.yml:18-27).
+
+    ``early_exit`` mirrors the reference's ``while iteration < steps and not
+    converged`` loop (ref lbfgs_torch.py:93-117): once every system in the
+    batch converges, the remaining model forwards are SKIPPED via a
+    ``lax.while_loop``.  The result (positions, trajectory, energies) is
+    identical to the full scan — frozen systems stop moving, so every
+    post-convergence frame equals the frozen state; the fill after the loop
+    reproduces them exactly.  Disabled automatically for ``fmax <= 0``
+    (fixed-budget benchmarking)."""
     b, n, _ = batch.pos.shape
     d = b * n * 3
     h0 = 1.0 / float(alpha)
@@ -177,7 +187,36 @@ def lbfgs_relax(
         rho_buf=jnp.zeros(memory, batch.pos.dtype),
         frozen_at=jnp.asarray(steps, jnp.int32),
     )
-    carry, (traj_pos, traj_e, traj_f) = jax.lax.scan(step, init, jnp.arange(steps))
+    if not (early_exit and fmax > 0.0):
+        carry, (traj_pos, traj_e, traj_f) = jax.lax.scan(step, init, jnp.arange(steps))
+    else:
+        def body(state):
+            it, carry, tp, te, tf = state
+            new_carry, (p_out, e_out, f_out) = step(carry, it)
+            tp = jax.lax.dynamic_update_index_in_dim(tp, p_out, it, 0)
+            te = jax.lax.dynamic_update_index_in_dim(te, e_out, it, 0)
+            tf = jax.lax.dynamic_update_index_in_dim(tf, f_out, it, 0)
+            return it + 1, new_carry, tp, te, tf
+
+        def cond(state):
+            it, carry = state[0], state[1]
+            return (it < steps) & (carry.frozen_at >= steps)
+
+        state0 = (
+            jnp.asarray(0, jnp.int32),
+            init,
+            jnp.zeros((steps, b, n, 3), batch.pos.dtype),
+            jnp.zeros((steps, b), batch.pos.dtype),
+            jnp.zeros((steps, b, n, 3), batch.pos.dtype),
+        )
+        it_end, carry, traj_pos, traj_e, traj_f = jax.lax.while_loop(cond, body, state0)
+        # frames at/after the exit step equal the frozen state (positions
+        # stopped moving; the scan would have re-emitted them verbatim)
+        e_fill, f_fill = ef(carry.pos)
+        mask = jnp.arange(steps) >= it_end
+        traj_pos = jnp.where(mask[:, None, None, None], carry.pos[None], traj_pos)
+        traj_e = jnp.where(mask[:, None], e_fill[None], traj_e)
+        traj_f = jnp.where(mask[:, None, None, None], f_fill[None], traj_f)
 
     final_fn = energy_forces_fn_final or energy_forces_fn
     final_e, final_f = final_fn(batch.replace(pos=carry.pos))  # no constraint (ref :140-143)

@@ -121,6 +121,7 @@ class RelaxationEngine:
             memory=int(opt.get("memory", 50)),
             damping=float(opt.get("damping", 1.0)),
             alpha=float(opt.get("alpha", 70.0)),
+            early_exit=bool(opt.get("early_exit", True)),
         )
         self.energy_forces_fn = energy_forces_fn
         self._fns: Dict[Tuple[int, int], Callable] = {}

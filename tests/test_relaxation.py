@@ -152,3 +152,19 @@ def test_atoms_roundtrip(rng):
     assert len(atoms_list) == 2 and atoms_list[1].get_potential_energy() == 2.0
     sys0 = atoms_to_system(atoms_list[0])
     np.testing.assert_allclose(sys0.pos, np.asarray(batch.pos)[0, :6], atol=1e-6)
+
+
+def test_lbfgs_early_exit_matches_full_scan(rng):
+    """The while-loop early exit (ref lbfgs_torch.py:93-117 loop break) must
+    reproduce the fixed-scan result bit-for-bit, trajectory included."""
+    batch = make_batch(rng, spread=2.0)
+    target = batch.pos + jnp.asarray(rng.normal(0, 0.5, batch.pos.shape).astype(np.float32))
+    kw = dict(steps=150, fmax=0.01, maxstep=0.04, memory=50)
+    full = jax.jit(lambda b: lbfgs_relax(harmonic_fn(target), b, early_exit=False, **kw))(batch)
+    fast = jax.jit(lambda b: lbfgs_relax(harmonic_fn(target), b, early_exit=True, **kw))(batch)
+    assert int(fast.nsteps) < 150
+    np.testing.assert_array_equal(np.asarray(fast.batch.pos), np.asarray(full.batch.pos))
+    np.testing.assert_array_equal(np.asarray(fast.traj_pos), np.asarray(full.traj_pos))
+    np.testing.assert_array_equal(np.asarray(fast.traj_energy), np.asarray(full.traj_energy))
+    np.testing.assert_array_equal(np.asarray(fast.traj_forces), np.asarray(full.traj_forces))
+    assert int(fast.nsteps) == int(full.nsteps)
