@@ -88,6 +88,47 @@ def compute_cell_reps(cell: np.ndarray, radius: float, pbc: Sequence[bool] = (Tr
     return tuple(reps)  # type: ignore[return-value]
 
 
+def auto_cell_reps(
+    positions: Sequence[np.ndarray],
+    cells: Sequence[np.ndarray],
+    radius: float,
+) -> Tuple[int, int, int]:
+    """Host-side: dataset-resolved replication counts with vacuum pruning.
+
+    Per system, start from the reciprocal-geometry counts
+    (:func:`compute_cell_reps`), then drop an axis entirely when the occupied
+    fractional band leaves a cross-image gap larger than ``radius`` along that
+    axis' plane normal — e.g. an OC20 slab's z-vacuum exceeds any sane cutoff,
+    so z-images can never be neighbors (3x fewer graph candidates; the same
+    exactness argument the sampling benches document).  The result is the
+    elementwise max over systems, safe as a static compile-time constant for
+    the whole dataset.  Conservative by construction: wrap-straddling atom
+    bands only overestimate the extent, which keeps the images.
+    """
+    reps = [0, 0, 0]
+    for pos, cell in zip(positions, cells):
+        cell = np.asarray(cell, np.float64)
+        pos = np.asarray(pos, np.float64)
+        r = list(compute_cell_reps(cell, radius))
+        cross = [
+            np.cross(cell[1], cell[2]),
+            np.cross(cell[2], cell[0]),
+            np.cross(cell[0], cell[1]),
+        ]
+        vol = abs(float(np.dot(cell[0], cross[0])))
+        frac = np.linalg.solve(cell.T, pos.T).T % 1.0
+        for ax in range(3):
+            if r[ax] == 0 or len(pos) == 0:
+                continue
+            spacing = vol / float(np.linalg.norm(cross[ax]))  # plane spacing
+            extent = float(frac[:, ax].max() - frac[:, ax].min())
+            # min separation along the axis normal between home and image atoms
+            if spacing * (1.0 - extent) > radius:
+                r[ax] = 0
+        reps = [max(a, b) for a, b in zip(reps, r)]
+    return tuple(reps)  # type: ignore[return-value]
+
+
 def _two_stage_top_k(x: jnp.ndarray, k: int, chunk: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the last axis via per-chunk top-k + merge.
 

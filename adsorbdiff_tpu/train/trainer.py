@@ -129,6 +129,8 @@ class BaseTrainer:
         os.makedirs(self.results_dir, exist_ok=True)
 
         amp = bool(config.get("amp"))
+        self._datasets(config)  # before models: cell_reps:auto reads the data
+        self._resolve_auto_cell_reps()
         try:
             self.model = _model_from_config(self.model_cfg, mode=self._model_mode(), amp=amp)
             self.train_model = _model_from_config(
@@ -138,7 +140,6 @@ class BaseTrainer:
             # model class without a compute_dtype field
             self.model = _model_from_config(self.model_cfg, mode=self._model_mode())
             self.train_model = _model_from_config(self.model_cfg, mode=self._model_mode(), training=True)
-        self._datasets(config)
         self._normalizers(config)
         self._optimizer()
         self.state: Optional[TrainState] = None
@@ -156,6 +157,29 @@ class BaseTrainer:
 
     def _model_mode(self) -> Optional[str]:
         return None
+
+    def _resolve_auto_cell_reps(self, num_samples: int = 64) -> None:
+        """``model.cell_reps: auto`` — resolve the static replication counts
+        from the data (:func:`adsorbdiff_tpu.ops.pbc.auto_cell_reps`): exact
+        reciprocal geometry per axis plus vacuum pruning (slab z-images are
+        never neighbors), maxed over a dataset sample."""
+        if self.model_cfg.get("cell_reps") != "auto":
+            return
+        from adsorbdiff_tpu.ops.pbc import auto_cell_reps
+
+        ds = self.train_dataset or self.relax_dataset or self.val_dataset
+        cutoff = max(
+            [float(v) for k, v in self.model_cfg.items() if k.startswith("cutoff")] or [12.0]
+        )
+        if ds is None or len(ds) == 0:
+            self.model_cfg["cell_reps"] = (2, 2, 1)  # safe general default
+            logging.warning("cell_reps: auto with no dataset — falling back to (2, 2, 1)")
+            return
+        idx = np.linspace(0, len(ds) - 1, min(len(ds), num_samples)).astype(int)
+        samples = [ds[int(i)] for i in idx]
+        reps = auto_cell_reps([s.pos for s in samples], [s.cell for s in samples], cutoff)
+        self.model_cfg["cell_reps"] = tuple(int(r) for r in reps)
+        logging.info(f"cell_reps: auto -> {self.model_cfg['cell_reps']} (cutoff {cutoff})")
 
     # ------------------------------------------------------------------ setup
     def _logger(self, config):

@@ -274,3 +274,55 @@ def test_incremental_graph_gemnet_parity(rng):
     inc = model.apply(variables, moved, static)
     np.testing.assert_allclose(np.asarray(inc[0]), np.asarray(ref[0]), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(inc[1]), np.asarray(ref[1]), atol=1e-5, rtol=1e-5)
+
+
+def test_auto_cell_reps_vacuum_pruning(rng):
+    """auto reps: reciprocal geometry + vacuum pruning; conservative on
+    boundary-straddling bands."""
+    from adsorbdiff_tpu.ops.pbc import auto_cell_reps, compute_cell_reps
+
+    cell = np.diag([11.4, 11.4, 36.0])
+    slab = rng.random((20, 3)) * [11.4, 11.4, 15.0]  # 21 A vacuum > cutoff 12
+    assert auto_cell_reps([slab], [cell], 12.0) == (2, 2, 0)
+    # plain reciprocal geometry would keep the z image
+    assert compute_cell_reps(cell, 12.0)[2] == 1
+
+    # atoms filling the cell: no vacuum anywhere -> no pruning
+    dense = rng.random((20, 3)) @ cell
+    assert auto_cell_reps([dense], [cell], 12.0) == compute_cell_reps(cell, 12.0)
+
+    # band straddling the z boundary: wrapped extent overestimates -> images kept
+    straddle = rng.random((20, 3)) * [11.4, 11.4, 6.0]
+    straddle[:, 2] = (straddle[:, 2] - 3.0) % 36.0
+    assert auto_cell_reps([straddle], [cell], 12.0)[2] == 1
+
+    # elementwise max over systems
+    assert auto_cell_reps([slab, dense], [cell, cell], 12.0) == compute_cell_reps(cell, 12.0)
+
+
+def test_trainer_resolves_auto_cell_reps(tmp_path, rng):
+    from adsorbdiff_tpu.data.schema import System
+    from adsorbdiff_tpu.data.store import write_shard
+    from adsorbdiff_tpu.train.trainer import DenoisingTrainer
+
+    systems = []
+    for i in range(4):
+        n = 12
+        cell = np.diag([9.0, 9.0, 30.0]).astype(np.float32)
+        pos = (rng.random((n, 3)) * [9, 9, 8]).astype(np.float32)
+        systems.append(System(pos=pos, atomic_numbers=rng.integers(1, 30, n),
+                              cell=cell, tags=np.array([0]*4 + [1]*4 + [2]*4, np.int32), sid=i))
+    write_shard(str(tmp_path / "d"), systems)
+    config = dict(
+        model=dict(name="painn", hidden_channels=16, num_layers=1, num_rbf=8,
+                   cutoff=6.0, max_neighbors=8, so3_denoising=True, cell_reps="auto"),
+        dataset=[{"src": str(tmp_path / "d")}],
+        optim=dict(batch_size=2, lr_initial=1e-4, use_denoising_pos=True,
+                   denoising_pos_params=dict(num_steps=4, ads_std_low=0.1, ads_std_high=10,
+                                             rot_std_low=0.01, rot_std_high=1.55)),
+        task={}, seed=0, is_debug=True,
+    )
+    tr = DenoisingTrainer(config)
+    # 9 A cell, 6 A cutoff -> 1 in-plane image; 22 A z-vacuum prunes z
+    assert tr.model_cfg["cell_reps"] == (1, 1, 0)
+    assert tr.model.cell_reps == (1, 1, 0)
