@@ -110,6 +110,7 @@ def test_energy_conditioning(rng):
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_d), atol=0)
 
 
+@pytest.mark.slow
 def test_dropout_train_eval(model_and_params, rng):
     """alpha_drop / drop_path / proj_drop: stochastic in train mode (keyed off
     the flax 'dropout' RNG), exactly off at eval, params shared between the

@@ -88,6 +88,7 @@ def test_energy_invariance_forces_equivariance(model_and_params, rng):
     np.testing.assert_allclose(np.asarray(out_t["energy"]), np.asarray(out["energy"]), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_a2a_supercell_size_consistency():
     """Energy must be size-consistent under a 2x1 in-plane supercell: every
     atom keeps an identical periodic environment, so E doubles exactly.  This
@@ -130,6 +131,7 @@ def test_a2a_supercell_size_consistency():
     np.testing.assert_allclose(f2[:4], f2[4:8], atol=5e-4)
 
 
+@pytest.mark.slow
 def test_padding_invariance(rng):
     model = GemNetOC(**TINY)
     rng1 = np.random.default_rng(7)

@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import __graft_entry__ as graft  # noqa: E402
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     fn, (variables, batch) = graft.entry()
     out = jax.jit(fn)(variables, batch)
@@ -20,6 +21,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(f1)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert jax.device_count() == 8
     graft.dryrun_multichip(8)

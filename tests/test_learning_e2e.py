@@ -21,6 +21,7 @@ from adsorbdiff_tpu.ops.pbc import min_image_diff
 from adsorbdiff_tpu.train.trainer import DenoisingTrainer
 
 
+@pytest.mark.slow
 def test_sampler_recovers_learned_site(tmp_path, rng):
     cell = np.diag([8.0, 8.0, 24.0]).astype(np.float32)
     site_xy = np.array([0.25, 0.25]) @ cell[:2, :2]

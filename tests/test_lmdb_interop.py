@@ -164,6 +164,7 @@ def test_pyg2_store_pickles():
         obj.not_there
 
 
+@pytest.mark.slow
 def test_convert_and_train_one_step(tmp_path):
     """VERDICT item 7 end-to-end: OC20 LMDB -> shards -> one training step."""
     out = str(tmp_path / "conv")

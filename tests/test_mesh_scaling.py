@@ -96,6 +96,7 @@ def _step_lowered(n_devices, batch_size):
     return step.lower(state, sharded, jax.random.PRNGKey(0)).compile()
 
 
+@pytest.mark.slow
 def test_weak_scaling_per_device_flops_constant():
     """Per-device FLOPs of the compiled training step must not grow with the
     mesh: (8 dev, B=16) module ~= (1 dev, B=2) module."""
@@ -152,6 +153,7 @@ def _run_steps(trainer, batch, n=2):
     return state, aux
 
 
+@pytest.mark.slow
 def test_fsdp_state_is_sharded_and_matches_replicated_dp():
     """ZeRO-3 params/opt/EMA shard over dp; two training steps produce the
     same numbers as the replicated-parameter dp path."""
@@ -192,6 +194,7 @@ def test_fsdp_hlo_has_sharded_collectives():
     assert ("reduce-scatter" in hlo) or ("all-reduce" in hlo), "fsdp grad reduction missing"
 
 
+@pytest.mark.slow
 def test_pallas_ops_shard_over_dp_mesh():
     """Pallas kernels under a dp mesh: GSPMD cannot partition a pallas_call
     (it replicates with all-gathers — measured 3 -> 221 on an EqV2 forward);
@@ -257,6 +260,7 @@ def test_pallas_ops_shard_over_dp_mesh():
             setattr(pk, n, f)
 
 
+@pytest.mark.slow
 def test_fsdp_with_pallas_kernels_matches_xla_path():
     """FSDP (ZeRO-3) + the fused PaiNN message kernel under the dp mesh:
     the trainer declares the pallas mesh, the kernel runs as a shard_map

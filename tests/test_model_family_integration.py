@@ -14,6 +14,7 @@ EQV2_CFG = dict(EQV2_TINY, name="equiformer_v2", so3_denoising=True, for_denoisi
 
 
 @pytest.mark.parametrize("model_cfg", [GEMNET_CFG, EQV2_CFG], ids=["gemnet_oc", "eqv2"])
+@pytest.mark.slow
 def test_denoising_trainer_with_model_family(tmp_path, rng, model_cfg):
     train = make_dataset(tmp_path, rng, 8, f"train_{model_cfg['name']}")
     cfg = config_for(train, run_dir=str(tmp_path))
@@ -35,6 +36,7 @@ def test_denoising_trainer_with_model_family(tmp_path, rng, model_cfg):
     assert np.abs(np.asarray(o2)[fixed]).max() == 0
 
 
+@pytest.mark.slow
 def test_s2ef_trainer_with_gemnet(tmp_path, rng):
     train = make_s2ef_dataset(tmp_path, rng, 8, "gtrain")
     cfg = s2ef_config(train, run_dir=str(tmp_path))

@@ -353,6 +353,7 @@ def test_eqv2_use_pallas_matches_xla():
     np.testing.assert_allclose(np.asarray(f2_p), np.asarray(f2_x), atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_eqv2_attn_conv1_kernel_parity_and_grad():
     """Fused basis+trunk+gates+conv1 (interpret): forward and parameter
     gradients match the XLA SO2Conv path; the stand-in parameter tree is
@@ -495,6 +496,7 @@ def test_gemnet_use_pallas_matches_xla():
         )
 
 
+@pytest.mark.slow
 def test_eqv2_kernels_large_geometry():
     """Kernel family at the EqV2-153M geometry (lmax=6, mmax=3): rotation
     parity at the op level and full-model use_pallas(+conv1) parity."""

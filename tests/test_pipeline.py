@@ -32,6 +32,7 @@ def test_sampled_trajs_to_dataset_z_clearance(tmp_path, rng):
     assert sys0.sid == 3
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path, rng):
     """Tiny end-to-end: denoiser + MLFF with synthetic-but-consistent data."""
     import sys
@@ -80,6 +81,7 @@ def test_full_pipeline(tmp_path, rng):
         assert os.path.exists(os.path.join(out_dir, str(seed), "final_struct.adshard.npz"))
 
 
+@pytest.mark.slow
 def test_pipeline_success_rate_beats_random(tmp_path, rng):
     """VERDICT round-2 item 7 — pipeline-scale success-rate regression: a
     trained score model driven through the FULL pipeline (multi-seed sample ->

@@ -136,6 +136,7 @@ def test_checkpoint_roundtrip(tiny_data, tmp_path):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_mesh_training_matches_single(tiny_data, tmp_path):
     """8-device DP step must produce (nearly) the same update as single-device."""
     assert jax.device_count() == 8
