@@ -41,6 +41,41 @@ def prepare_static_graph(
     )
 
 
+def derive_subgraph(
+    nl: NeighborList,
+    *,
+    max_neighbors: int,
+    cutoff: Optional[float] = None,
+) -> Tuple[NeighborList, jnp.ndarray, jnp.ndarray]:
+    """Exact smaller graph as a K-prefix view of a larger neighbor table.
+
+    The builder's top-k returns slots nearest-first over a candidate axis that
+    depends only on (N, reps) — so for ``cutoff_sub <= cutoff`` and
+    ``K_sub <= K`` the independent sub-build and the first ``K_sub`` slots of
+    the big table pick identical candidates in identical order (distances are
+    monotone per row, ties break by the same flat index).  GemNet-OC's three
+    same-cutoff graphs (ref: gemnet_oc.py get_graphs_and_indices :989-1123
+    builds each separately) collapse to ONE build + two free views.
+    Returns ``(nl, dist, unit)`` exactly like :func:`generate_graph`.
+    """
+    k = max_neighbors
+    d = nl.dist[..., :k]
+    mask = nl.mask[..., :k]
+    if cutoff is not None:
+        mask = mask & (d <= cutoff)
+    sub = NeighborList(
+        src=jnp.where(mask, nl.src[..., :k], 0),
+        cell_offsets=nl.cell_offsets[..., :k, :],
+        vec=jnp.where(mask[..., None], nl.vec[..., :k, :], 0.0),
+        dist=jnp.where(mask, d, 0.0),
+        mask=mask,
+    )
+    dist = jnp.where(sub.dist < 1e-3, 1e-3, sub.dist)
+    unit = sub.vec / dist[..., None]
+    unit = jnp.where(mask[..., None], unit, 0.0)
+    return sub, dist, unit
+
+
 def generate_graph(
     batch: AtomsBatch,
     *,

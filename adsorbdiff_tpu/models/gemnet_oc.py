@@ -56,7 +56,7 @@ from flax import linen as nn
 
 from adsorbdiff_tpu.common.registry import registry
 from adsorbdiff_tpu.data.schema import AtomsBatch
-from adsorbdiff_tpu.models.base import generate_graph
+from adsorbdiff_tpu.models.base import derive_subgraph, generate_graph
 from adsorbdiff_tpu.models.layers import (
     AtomEmbedding,
     RadialBasis,
@@ -322,19 +322,24 @@ class GemNetOC(nn.Module):
         :func:`adsorbdiff_tpu.models.base.prepare_static_graph`."""
         from adsorbdiff_tpu.models.base import prepare_static_graph
 
-        return {
+        out = {
             "main": prepare_static_graph(
                 batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
-            ),
-            "aeaint": prepare_static_graph(
+            )
+        }
+        # graphs that _forward derives as K-prefix views of the main table
+        # need no static part of their own
+        if not (self.cutoff_aeaint <= self.cutoff and self.max_neighbors_aeaint <= self.max_neighbors):
+            out["aeaint"] = prepare_static_graph(
                 batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint,
                 cell_reps=self.cell_reps,
-            ),
-            "qint": prepare_static_graph(
+            )
+        if not (self.cutoff_qint <= self.cutoff and self.max_neighbors_qint <= self.max_neighbors):
+            out["qint"] = prepare_static_graph(
                 batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint,
                 cell_reps=self.cell_reps,
-            ),
-        }
+            )
+        return out
 
     @nn.compact
     def __call__(self, batch: AtomsBatch, static_graph=None):
@@ -356,16 +361,30 @@ class GemNetOC(nn.Module):
             static_graph=sg.get("main"), max_ads=self.max_ads,
         )
         emask = nl.mask  # [B, N, K1]
-        # a2ee2a graph (atom-atom pairs for a2e / e2a triplets)
-        nl_ae, dist_ae, unit_ae = generate_graph(
-            batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint, cell_reps=self.cell_reps,
-            static_graph=sg.get("aeaint"), max_ads=self.max_ads,
-        )
+        # a2ee2a graph (atom-atom pairs for a2e / e2a triplets) and the qint
+        # graph: when their cutoffs don't exceed the main cutoff (the
+        # published configs use 12 A for all three) they are exact K-prefix
+        # views of the main table — one build instead of three
+        # (models/base.py::derive_subgraph)
+        if self.cutoff_aeaint <= self.cutoff and self.max_neighbors_aeaint <= self.max_neighbors:
+            nl_ae, dist_ae, unit_ae = derive_subgraph(
+                nl, max_neighbors=self.max_neighbors_aeaint, cutoff=self.cutoff_aeaint
+            )
+        else:
+            nl_ae, dist_ae, unit_ae = generate_graph(
+                batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint,
+                cell_reps=self.cell_reps, static_graph=sg.get("aeaint"), max_ads=self.max_ads,
+            )
         # qint graph restricted to qint_tags atoms (ref: gemnet_oc.py qint_tags)
-        nl_q, dist_q, unit_q = generate_graph(
-            batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint, cell_reps=self.cell_reps,
-            static_graph=sg.get("qint"), max_ads=self.max_ads,
-        )
+        if self.cutoff_qint <= self.cutoff and self.max_neighbors_qint <= self.max_neighbors:
+            nl_q, dist_q, unit_q = derive_subgraph(
+                nl, max_neighbors=self.max_neighbors_qint, cutoff=self.cutoff_qint
+            )
+        else:
+            nl_q, dist_q, unit_q = generate_graph(
+                batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint,
+                cell_reps=self.cell_reps, static_graph=sg.get("qint"), max_ads=self.max_ads,
+            )
         tagged = jnp.zeros_like(batch.tags, dtype=bool)
         for t in self.qint_tags:
             tagged |= batch.tags == t

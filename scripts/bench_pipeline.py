@@ -80,7 +80,9 @@ def main() -> None:
     print(f"stage 2 convert: {t_convert*1000:.2f} ms/system ({n} systems)", flush=True)
 
     # ---- stage 3: MLFF relaxation (production RelaxationEngine + traj IO)
-    gem = GemNetOC(mode="s2ef", compute_dtype="bfloat16")
+    # (2,2,0) = what cell_reps:auto resolves for these vacuum slabs (+7.5%,
+    # docs/PERF.md round 4)
+    gem = GemNetOC(mode="s2ef", compute_dtype="bfloat16", cell_reps=(2, 2, 0))
     gvars = jax.jit(gem.init)(jax.random.PRNGKey(0), batches[0])
     rengine = RelaxationEngine.from_model(gem, gvars, relax_opt={"steps": relax_steps, "fmax": 0.0})
     ds = ShardDataset({"src": os.path.join(out, "relax_in")})

@@ -267,7 +267,8 @@ def test_incremental_graph_gemnet_parity(rng):
     batch = make_batch(rng)
     variables = model.init(jax.random.PRNGKey(0), batch)
     static = model.prepare_static(batch)
-    assert set(static) == {"main", "aeaint", "qint"}
+    # aeaint/qint are derived as K-prefix views at TINY's equal cutoffs
+    assert set(static) == {"main"}
     moved = _moved_ads(rng, batch)
 
     ref = model.apply(variables, moved)
@@ -326,3 +327,24 @@ def test_trainer_resolves_auto_cell_reps(tmp_path, rng):
     # 9 A cell, 6 A cutoff -> 1 in-plane image; 22 A z-vacuum prunes z
     assert tr.model_cfg["cell_reps"] == (1, 1, 0)
     assert tr.model.cell_reps == (1, 1, 0)
+
+
+def test_derive_subgraph_exact(rng):
+    """A K-prefix view of the big table == the independently built sub-graph
+    (same candidate axis, nearest-first top-k) — field-for-field."""
+    from adsorbdiff_tpu.models.base import derive_subgraph, generate_graph
+    from tests.test_painn import make_batch
+
+    batch = make_batch(rng)
+    big, _, _ = generate_graph(batch, cutoff=6.0, max_neighbors=12, cell_reps=(1, 1, 0))
+    for k_sub, cut_sub in [(8, 6.0), (8, 4.5), (4, 3.0), (12, 5.0)]:
+        ref, ref_d, ref_u = generate_graph(batch, cutoff=cut_sub, max_neighbors=k_sub, cell_reps=(1, 1, 0))
+        got, got_d, got_u = derive_subgraph(big, max_neighbors=k_sub, cutoff=cut_sub)
+        np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(ref.mask))
+        np.testing.assert_array_equal(np.asarray(got.src), np.asarray(ref.src))
+        np.testing.assert_array_equal(np.asarray(got.cell_offsets) * np.asarray(got.mask)[..., None],
+                                      np.asarray(ref.cell_offsets) * np.asarray(ref.mask)[..., None])
+        np.testing.assert_allclose(np.asarray(got.dist), np.asarray(ref.dist), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.vec), np.asarray(ref.vec), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-6)
