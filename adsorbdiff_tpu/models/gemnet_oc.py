@@ -303,8 +303,20 @@ class GemNetOC(nn.Module):
     sampling: bool = False
     use_pallas: bool = False  # fused quad dihedral-basis kernel (forward-only
     # paths: relaxation + sampling; training keeps the XLA formulation)
+    derive_subgraphs: bool = True  # aeaint/qint as K-prefix views of the main
+    # table when cutoffs allow (base.py::derive_subgraph); False = 3 builds (A/B)
     compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
     # bilinear / basis-embedding matmuls in bf16 (params + geometry stay f32)
+
+    @property
+    def _derive_ae(self) -> bool:
+        return (self.derive_subgraphs and self.cutoff_aeaint <= self.cutoff
+                and self.max_neighbors_aeaint <= self.max_neighbors)
+
+    @property
+    def _derive_q(self) -> bool:
+        return (self.derive_subgraphs and self.cutoff_qint <= self.cutoff
+                and self.max_neighbors_qint <= self.max_neighbors)
 
     def _rbf(self, name: str, cutoff: Optional[float] = None):
         return RadialBasis(
@@ -329,12 +341,12 @@ class GemNetOC(nn.Module):
         }
         # graphs that _forward derives as K-prefix views of the main table
         # need no static part of their own
-        if not (self.cutoff_aeaint <= self.cutoff and self.max_neighbors_aeaint <= self.max_neighbors):
+        if not self._derive_ae:
             out["aeaint"] = prepare_static_graph(
                 batch, cutoff=self.cutoff_aeaint, max_neighbors=self.max_neighbors_aeaint,
                 cell_reps=self.cell_reps,
             )
-        if not (self.cutoff_qint <= self.cutoff and self.max_neighbors_qint <= self.max_neighbors):
+        if not self._derive_q:
             out["qint"] = prepare_static_graph(
                 batch, cutoff=self.cutoff_qint, max_neighbors=self.max_neighbors_qint,
                 cell_reps=self.cell_reps,
@@ -366,7 +378,7 @@ class GemNetOC(nn.Module):
         # published configs use 12 A for all three) they are exact K-prefix
         # views of the main table — one build instead of three
         # (models/base.py::derive_subgraph)
-        if self.cutoff_aeaint <= self.cutoff and self.max_neighbors_aeaint <= self.max_neighbors:
+        if self._derive_ae:
             nl_ae, dist_ae, unit_ae = derive_subgraph(
                 nl, max_neighbors=self.max_neighbors_aeaint, cutoff=self.cutoff_aeaint
             )
@@ -376,7 +388,7 @@ class GemNetOC(nn.Module):
                 cell_reps=self.cell_reps, static_graph=sg.get("aeaint"), max_ads=self.max_ads,
             )
         # qint graph restricted to qint_tags atoms (ref: gemnet_oc.py qint_tags)
-        if self.cutoff_qint <= self.cutoff and self.max_neighbors_qint <= self.max_neighbors:
+        if self._derive_q:
             nl_q, dist_q, unit_q = derive_subgraph(
                 nl, max_neighbors=self.max_neighbors_qint, cutoff=self.cutoff_qint
             )

@@ -36,13 +36,15 @@ def main() -> None:
     dtypes = os.environ.get("BENCH_DTYPES", "f32,bf16").split(",")
     # BENCH_REPS=2,2,0 measures the cell_reps:auto vacuum pruning
     reps = tuple(int(x) for x in os.environ.get("BENCH_REPS", "2,2,1").split(","))
-    tag = " pallas" if use_pallas else ""
+    derive = os.environ.get("BENCH_DERIVE", "1") != "0"  # A/B derive_subgraph
+    tag = (" pallas" if use_pallas else "") + ("" if derive else " 3-builds")
     for b in b_list:
         batch = example_batch(b)
         for dname in dtypes:
             cd = None if dname == "f32" else "bfloat16"
             label = f"relax{tag} {dname} B={b} reps={reps}"
-            model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas, cell_reps=reps)
+            model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas,
+                             cell_reps=reps, derive_subgraphs=derive)
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
             ef = make_mlff_energy_forces(model, variables)
             run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))
