@@ -12,10 +12,13 @@ import jax.numpy as jnp
 
 from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.ops.pbc import (
+    CandidateTable,
     NeighborList,
     StaticGraphPart,
+    candidate_topk_batched,
     radius_graph_pbc_batched,
     radius_graph_pbc_incremental_batched,
+    refresh_from_candidates_batched,
     slab_static_topk_batched,
 )
 
@@ -38,6 +41,22 @@ def prepare_static_graph(
         radius=cutoff,
         max_neighbors=max_neighbors,
         reps=cell_reps,
+    )
+
+
+def prepare_candidate_graph(
+    batch: AtomsBatch,
+    *,
+    max_neighbors: int,
+    cell_reps: Tuple[int, int, int],
+    k_cand: int = 64,
+) -> CandidateTable:
+    """Build the Verlet candidate table for a relaxation loop (see
+    :class:`adsorbdiff_tpu.ops.pbc.CandidateTable`).  Pass the result as
+    ``static_graph``; :func:`generate_graph` dispatches on the type."""
+    return candidate_topk_batched(
+        batch.pos, batch.cell, batch.atom_mask,
+        k_cand=k_cand, max_neighbors=max_neighbors, reps=cell_reps,
     )
 
 
@@ -97,7 +116,14 @@ def generate_graph(
     adsorbate-involving candidates are recomputed — exact same table, ~10x
     less top-k work per sampling step.
     """
-    if static_graph is not None:
+    if isinstance(static_graph, CandidateTable):
+        # Verlet candidate refresh (relaxation loops): exact table from the
+        # cached Kc-nearest candidates — see ops/pbc.py::CandidateTable
+        nl = refresh_from_candidates_batched(
+            batch.pos, batch.cell, static_graph,
+            radius=cutoff, max_neighbors=max_neighbors,
+        )
+    elif static_graph is not None:
         nl = radius_graph_pbc_incremental_batched(
             batch.pos,
             batch.cell,

@@ -735,6 +735,15 @@ class EquiformerV2(nn.Module):
             batch, cutoff=self.cutoff, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps
         )
 
+    def prepare_candidates(self, batch: AtomsBatch, k_cand: int = 64):
+        """Verlet candidate table for relaxation loops (see
+        :class:`adsorbdiff_tpu.ops.pbc.CandidateTable`)."""
+        from adsorbdiff_tpu.models.base import prepare_candidate_graph
+
+        return prepare_candidate_graph(
+            batch, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps, k_cand=k_cand
+        )
+
     @nn.compact
     def __call__(self, batch: AtomsBatch, static_graph=None):
         with compute_dtype_scope(self.compute_dtype):

@@ -353,6 +353,28 @@ class GemNetOC(nn.Module):
             )
         return out
 
+    def prepare_candidates(self, batch: AtomsBatch, k_cand: int = 64):
+        """Verlet candidate tables for relaxation loops (see
+        :class:`adsorbdiff_tpu.ops.pbc.CandidateTable`).  Derived subgraphs
+        (aeaint/qint at the published equal cutoffs) need no table of their
+        own — they are K-prefix views of the refreshed main table."""
+        from adsorbdiff_tpu.models.base import prepare_candidate_graph
+
+        out = {
+            "main": prepare_candidate_graph(
+                batch, max_neighbors=self.max_neighbors, cell_reps=self.cell_reps, k_cand=k_cand
+            )
+        }
+        if not self._derive_ae:
+            out["aeaint"] = prepare_candidate_graph(
+                batch, max_neighbors=self.max_neighbors_aeaint, cell_reps=self.cell_reps, k_cand=k_cand
+            )
+        if not self._derive_q:
+            out["qint"] = prepare_candidate_graph(
+                batch, max_neighbors=self.max_neighbors_qint, cell_reps=self.cell_reps, k_cand=k_cand
+            )
+        return out
+
     @nn.compact
     def __call__(self, batch: AtomsBatch, static_graph=None):
         with compute_dtype_scope(self.compute_dtype):

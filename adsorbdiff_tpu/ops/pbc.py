@@ -388,6 +388,144 @@ def radius_graph_pbc_incremental_batched(
     return jax.vmap(fn)(pos, cell, atom_mask, ads_mask, static)
 
 
+class CandidateTable(NamedTuple):
+    """Verlet-style neighbor candidate list for relaxation loops.
+
+    L-BFGS moves atoms by at most ``maxstep`` (0.04 Å) per step, so the
+    expensive full builder (top-k over N*images ≈ thousands of candidates,
+    ref: utils.py:556-730 rebuilt every reference relax step) can be replaced
+    by a cheap refresh over the ``Kc`` nearest *candidates* cached at build
+    time.  Exactness: let δ = max single-atom displacement since build.  Any
+    candidate NOT in the table was beyond ``d_Kc`` at build and is now beyond
+    ``d_Kc - 2δ``; the current K-th nearest is within ``d_K + 2δ``.  So while
+    ``4δ < margin = min_rows(d_Kc - d_K)`` the K-nearest-within-radius
+    selection over the table equals the full build (same distances, same
+    formula — bit-exact away from fp ties).  The relax loop rebuilds via
+    ``lax.cond`` when the margin is spent (every ~10+ steps at L-BFGS rates).
+    """
+
+    src: jnp.ndarray  # [*, N, Kc] int32 source atom per candidate
+    cell_offsets: jnp.ndarray  # [*, N, Kc, 3] int32
+    valid: jnp.ndarray  # [*, N, Kc] bool (build-time pair validity)
+    pos0: jnp.ndarray  # [*, N, 3] positions at build time
+    margin: jnp.ndarray  # [*] min over rows of d_Kc - d_K (inf if table holds all)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cand", "max_neighbors", "reps"))
+def candidate_topk(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    *,
+    k_cand: int,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> CandidateTable:
+    """Build the ``k_cand`` nearest periodic-image candidates per target atom.
+
+    No radius cap — the cutoff is applied at refresh time so the margin
+    invariant (see :class:`CandidateTable`) carries the exactness proof.
+    """
+    n = pos.shape[0]
+    offsets_int = jnp.asarray(_offset_grid(reps))
+    c = offsets_int.shape[0]
+    offsets_cart = offsets_int.astype(pos.dtype) @ cell
+    # tiny systems: cap at the candidate count (the table holds everything);
+    # refresh still needs >= max_neighbors slots to select from
+    k_cand = max(min(k_cand, n * c), max_neighbors)
+
+    src_img = pos[None, :, None, :] + offsets_cart[None, None, :, :]
+    diff = src_img - pos[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)  # [N, N, C]
+    valid = atom_mask[:, None, None] & atom_mask[None, :, None]
+    valid &= d2 > 1.0e-4
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    d2_flat = jnp.where(valid, d2, big).reshape(n, n * c)
+    neg_top, flat_idx = _two_stage_top_k(-d2_flat, k_cand)  # [N, Kc]
+
+    vmask = (-neg_top) < big
+    d = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    # margin rows: only rows whose table is FULL can exclude candidates;
+    # padded targets and under-full rows contribute +inf
+    if k_cand < n * c:
+        full = vmask[:, -1] & atom_mask
+        row_margin = jnp.where(full, d[:, -1] - d[:, max_neighbors - 1], jnp.inf)
+    else:  # the table holds every candidate — nothing can ever be excluded
+        row_margin = jnp.full((n,), jnp.inf, d.dtype)
+    return CandidateTable(
+        src=jnp.where(vmask, (flat_idx // c).astype(jnp.int32), 0),
+        cell_offsets=offsets_int[flat_idx % c],
+        valid=vmask,
+        pos0=pos,
+        margin=jnp.min(row_margin),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_neighbors", "radius"))
+def refresh_from_candidates(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    cand: CandidateTable,
+    *,
+    radius: float,
+    max_neighbors: int,
+) -> NeighborList:
+    """Exact neighbor table from cached candidates at the CURRENT positions.
+
+    Same displacement formula and top-k selection as :func:`radius_graph_pbc`
+    restricted to the candidate set, so results are bit-exact while the
+    margin invariant holds (fp-tied distances may order differently; the
+    choice is equally valid, as in the reference's nondeterministic ties,
+    ref: utils.py:809-837).  Cost: O(N*Kc) instead of O(N*N*images).
+    """
+    k = max_neighbors
+    off_cart = cand.cell_offsets.astype(pos.dtype) @ cell  # [N, Kc, 3]
+    vec = pos[cand.src] + off_cart - pos[:, None, :]
+    d2 = jnp.sum(vec * vec, axis=-1)
+    big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+    ok = cand.valid & (d2 > 1.0e-4) & (d2 <= radius * radius)
+    neg_top, sel = jax.lax.top_k(-jnp.where(ok, d2, big), k)  # [N, K]
+    mask = (-neg_top) < big
+    src = jnp.take_along_axis(cand.src, sel, axis=1)
+    cell_offsets = jnp.take_along_axis(cand.cell_offsets, sel[..., None], axis=1)
+    v = jnp.take_along_axis(vec, sel[..., None], axis=1)
+    dist = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    return NeighborList(
+        src=jnp.where(mask, src, 0),
+        cell_offsets=cell_offsets,
+        vec=jnp.where(mask[..., None], v, 0.0),
+        dist=jnp.where(mask, dist, 0.0),
+        mask=mask,
+    )
+
+
+def candidate_topk_batched(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    atom_mask: jnp.ndarray,
+    *,
+    k_cand: int,
+    max_neighbors: int,
+    reps: Tuple[int, int, int],
+) -> CandidateTable:
+    """vmapped :func:`candidate_topk` over a leading system axis."""
+    fn = functools.partial(candidate_topk, k_cand=k_cand, max_neighbors=max_neighbors, reps=reps)
+    return jax.vmap(fn)(pos, cell, atom_mask)
+
+
+def refresh_from_candidates_batched(
+    pos: jnp.ndarray,
+    cell: jnp.ndarray,
+    cand: CandidateTable,
+    *,
+    radius: float,
+    max_neighbors: int,
+) -> NeighborList:
+    """vmapped :func:`refresh_from_candidates` over a leading system axis."""
+    fn = functools.partial(refresh_from_candidates, radius=radius, max_neighbors=max_neighbors)
+    return jax.vmap(fn)(pos, cell, cand)
+
+
 def radius_graph_pbc_batched(
     pos: jnp.ndarray,
     cell: jnp.ndarray,

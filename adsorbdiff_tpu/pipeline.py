@@ -86,8 +86,10 @@ def run_pipeline(
     engine = DiffusionEngine(
         diffusion_trainer.score_fn, denoise_params, static_fn=diffusion_trainer.sampling_static_fn()
     )
+    cand_hook = getattr(relax_trainer, "relax_candidate_fn", None)  # duck-typed trainers
     rengine = RelaxationEngine(
-        relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax
+        relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax,
+        candidate_fn=cand_hook(relax_opt) if cand_hook is not None else None,
     )
     relax_dirs = []
     for seed in range(nsites):

@@ -163,8 +163,10 @@ class AdsorbDiffCalculator:
         batch = self._batch(atoms)
         self._mlff_fn(batch)  # ensure model loaded
         model, state, _ = self._mlff
-        fn = make_mlff_energy_forces(model, {"params": state.ema_params, "scale_factors": state.scale_factors})
-        engine = RelaxationEngine(fn, relax_opt, steps=steps, fmax=fmax)
+        engine = RelaxationEngine.from_model(
+            model, {"params": state.ema_params, "scale_factors": state.scale_factors},
+            relax_opt, steps=steps, fmax=fmax,
+        )
         res = engine.run(batch, traj_dir=traj_dir, skip_existing=False)
         out = batch_to_atoms(res.batch, energy=res.energy, forces=res.forces)[0]
         return out

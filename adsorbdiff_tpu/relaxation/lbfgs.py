@@ -30,8 +30,9 @@ import jax.numpy as jnp
 from adsorbdiff_tpu.data.schema import AtomsBatch
 from adsorbdiff_tpu.ops.segment import masked_max
 
-EnergyForcesFn = Callable[[AtomsBatch], Tuple[jnp.ndarray, jnp.ndarray]]
-# fn(batch) -> (energy [B], forces [B, N, 3]) with fixed-atom forces zeroed
+EnergyForcesFn = Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
+# fn(batch[, static_graph]) -> (energy [B], forces [B, N, 3]) with fixed-atom
+# forces zeroed
 
 
 class LBFGSResult(NamedTuple):
@@ -57,6 +58,7 @@ def lbfgs_relax(
     alpha: float = 70.0,
     energy_forces_fn_final: Optional[EnergyForcesFn] = None,
     early_exit: bool = True,
+    candidate_fn: Optional[Callable[[AtomsBatch], object]] = None,
 ) -> LBFGSResult:
     """Run batched L-BFGS (defaults = the published relaxation config,
     ref: configs/denoising/painn_so3.yml:18-27).
@@ -77,10 +79,34 @@ def lbfgs_relax(
     def flat(x):
         return x.reshape(d)
 
-    def ef(pos):
-        e, f = energy_forces_fn(batch.replace(pos=pos))
+    def ef(pos, cand=None):
+        if candidate_fn is None:
+            e, f = energy_forces_fn(batch.replace(pos=pos))
+        else:
+            e, f = energy_forces_fn(batch.replace(pos=pos), cand)
         f = jnp.where(atom3, f, 0.0)
         return e, f
+
+    def refresh_candidates(pos, cand):
+        """Verlet-list maintenance (see ops/pbc.py::CandidateTable): rebuild
+        the candidate tables via lax.cond once the accumulated displacement
+        spends the exactness margin; until then the model refreshes the
+        neighbor table from the cached candidates at O(N*Kc) cost."""
+        from adsorbdiff_tpu.ops.pbc import CandidateTable
+
+        leaves = jax.tree.leaves(cand, is_leaf=lambda x: isinstance(x, CandidateTable))
+        tables = [t for t in leaves if isinstance(t, CandidateTable)]
+        need = jnp.asarray(False)
+        for t in tables:
+            d2 = jnp.sum((pos - t.pos0) ** 2, axis=-1)  # [B, N]
+            disp = jnp.sqrt(masked_max(d2, batch.atom_mask, axis=1))  # [B]
+            need |= jnp.any(4.0 * disp >= t.margin)
+        return jax.lax.cond(
+            need,
+            lambda p: candidate_fn(batch.replace(pos=p)),
+            lambda p: cand,
+            pos,
+        )
 
     class Carry(NamedTuple):
         pos: jnp.ndarray  # [B, N, 3]
@@ -90,6 +116,7 @@ def lbfgs_relax(
         y_buf: jnp.ndarray  # [M, D]
         rho_buf: jnp.ndarray  # [M]
         frozen_at: jnp.ndarray  # [] int32 (steps if never converged)
+        cand: object = ()  # Verlet candidate tables (pytree; () when unused)
 
     def two_loop(q, s_buf, y_buf, rho_buf, n_hist):
         """Standard two-loop recursion over the ring buffer (ref :179-193).
@@ -122,7 +149,10 @@ def lbfgs_relax(
         return jax.lax.fori_loop(0, m, fwd, z)
 
     def step(carry: Carry, it: jnp.ndarray):
-        energy, forces = ef(carry.pos)
+        cand = carry.cand
+        if candidate_fn is not None:
+            cand = refresh_candidates(carry.pos, cand)
+        energy, forces = ef(carry.pos, cand)
 
         # per-system max force over real atoms (ref check_convergence :74-90)
         fnorm = jnp.linalg.norm(forces, axis=-1)  # [B, N]
@@ -175,6 +205,7 @@ def lbfgs_relax(
             y_buf=y_buf,
             rho_buf=rho_buf,
             frozen_at=frozen_at,
+            cand=cand,
         )
         return new_carry, (carry.pos, energy, forces)
 
@@ -186,6 +217,7 @@ def lbfgs_relax(
         y_buf=jnp.zeros((memory, d), batch.pos.dtype),
         rho_buf=jnp.zeros(memory, batch.pos.dtype),
         frozen_at=jnp.asarray(steps, jnp.int32),
+        cand=candidate_fn(batch) if candidate_fn is not None else (),
     )
     if not (early_exit and fmax > 0.0):
         carry, (traj_pos, traj_e, traj_f) = jax.lax.scan(step, init, jnp.arange(steps))
@@ -212,7 +244,8 @@ def lbfgs_relax(
         it_end, carry, traj_pos, traj_e, traj_f = jax.lax.while_loop(cond, body, state0)
         # frames at/after the exit step equal the frozen state (positions
         # stopped moving; the scan would have re-emitted them verbatim)
-        e_fill, f_fill = ef(carry.pos)
+        # (full-build forward: exact regardless of the candidate margin state)
+        e_fill, f_fill = ef(carry.pos, None) if candidate_fn is not None else ef(carry.pos)
         mask = jnp.arange(steps) >= it_end
         traj_pos = jnp.where(mask[:, None, None, None], carry.pos[None], traj_pos)
         traj_e = jnp.where(mask[:, None], e_fill[None], traj_e)
@@ -245,10 +278,11 @@ def lbfgs_relax(
 def make_mlff_energy_forces(model, variables) -> EnergyForcesFn:
     """Wrap an s2ef model into the calculator contract: energy [B],
     forces [B, N, 3] with fixed-atom forces zeroed
-    (ref: lbfgs_torch.py TorchCalc :215-229)."""
+    (ref: lbfgs_torch.py TorchCalc :215-229).  ``static_graph`` (optional)
+    carries Verlet candidate tables into the model's graph build."""
 
-    def fn(batch: AtomsBatch):
-        out = model.apply(variables, batch)
+    def fn(batch: AtomsBatch, static_graph=None):
+        out = model.apply(variables, batch, static_graph)
         forces = jnp.where(batch.fixed[..., None], 0.0, out["forces"])
         return out["energy"], forces
 

@@ -112,7 +112,14 @@ class DiffusionEngine:
 class RelaxationEngine:
     """Jit-cached batched L-BFGS over batches (ml_relax, ref: ml_relaxation.py:23-92)."""
 
-    def __init__(self, energy_forces_fn, relax_opt: Optional[dict] = None, steps: int = 300, fmax: float = 0.01) -> None:
+    def __init__(
+        self,
+        energy_forces_fn,
+        relax_opt: Optional[dict] = None,
+        steps: int = 300,
+        fmax: float = 0.01,
+        candidate_fn: Optional[Callable] = None,
+    ) -> None:
         opt = dict(relax_opt or {})
         self.kwargs = dict(
             steps=int(opt.get("steps", steps)),
@@ -124,16 +131,31 @@ class RelaxationEngine:
             early_exit=bool(opt.get("early_exit", True)),
         )
         self.energy_forces_fn = energy_forces_fn
+        self.candidate_fn = candidate_fn
         self._fns: Dict[Tuple[int, int], Callable] = {}
 
     @classmethod
     def from_model(cls, model, variables, relax_opt: Optional[dict] = None, **kw) -> "RelaxationEngine":
-        return cls(make_mlff_energy_forces(model, variables), relax_opt, **kw)
+        """``relax_opt["verlet_graph"]`` (default True) maintains the neighbor
+        table as a Verlet candidate list inside the relax loop — exact tables
+        at O(N*Kc) per step with lax.cond rebuilds when the displacement
+        margin is spent (ops/pbc.py::CandidateTable); ``relax_opt["k_cand"]``
+        sizes the candidate pool (default 64)."""
+        opt = dict(relax_opt or {})
+        candidate_fn = None
+        if bool(opt.get("verlet_graph", True)) and hasattr(model, "prepare_candidates"):
+            k_cand = int(opt.get("k_cand", 64))
+            candidate_fn = lambda b: model.prepare_candidates(b, k_cand)  # noqa: E731
+        return cls(make_mlff_energy_forces(model, variables), relax_opt, candidate_fn=candidate_fn, **kw)
 
     def _fn(self, batch: AtomsBatch):
         key = (batch.batch_size, batch.max_atoms)
         if key not in self._fns:
-            self._fns[key] = jax.jit(lambda b: lbfgs_relax(self.energy_forces_fn, b, **self.kwargs))
+            self._fns[key] = jax.jit(
+                lambda b: lbfgs_relax(
+                    self.energy_forces_fn, b, candidate_fn=self.candidate_fn, **self.kwargs
+                )
+            )
         return self._fns[key]
 
     def run(

@@ -796,11 +796,13 @@ class S2EFTrainer(BaseTrainer):
         """(energy [B], forces [B,N,3]) with denormalization (ref: predict :405-535)."""
         return self._predict(batch)
 
-    def energy_forces_fn(self, batch: AtomsBatch):
+    def energy_forces_fn(self, batch: AtomsBatch, static_graph=None):
         """Traceable calculator contract with fixed-atom zeroing
-        (ref: lbfgs_torch.py TorchCalc :220-229)."""
+        (ref: lbfgs_torch.py TorchCalc :220-229).  ``static_graph``
+        optionally carries Verlet candidate tables (ops/pbc.py)."""
         out = self.model.apply(
-            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors}, batch
+            {"params": self.state.ema_params, "scale_factors": self.state.scale_factors},
+            batch, static_graph,
         )
         energy = out["energy"]
         e_norm = self.normalizers.get("energy")
@@ -808,6 +810,16 @@ class S2EFTrainer(BaseTrainer):
             energy = e_norm.denorm(energy)
         forces = jnp.where(batch.fixed[..., None], 0.0, out["forces"])
         return energy, forces
+
+    def relax_candidate_fn(self, relax_opt: Optional[dict] = None):
+        """Verlet candidate-table builder for the relax loop (None when
+        disabled via ``relax_opt: {verlet_graph: false}`` or the model lacks
+        the hook) — see ops/pbc.py::CandidateTable."""
+        opt = dict(relax_opt or {})
+        if not bool(opt.get("verlet_graph", True)) or not hasattr(self.model, "prepare_candidates"):
+            return None
+        k_cand = int(opt.get("k_cand", 64))
+        return lambda b: self.model.prepare_candidates(b, k_cand)
 
     def validate(self, split: str = "val") -> dict:
         """s2ef metrics on free atoms (ref: base_trainer.validate :712-785 +
@@ -852,6 +864,7 @@ class S2EFTrainer(BaseTrainer):
             relax_opt,
             steps=int(self.task_cfg.get("relaxation_steps", 300)),
             fmax=float(self.task_cfg.get("relaxation_fmax", 0.01)),
+            candidate_fn=self.relax_candidate_fn(relax_opt),
         )
         traj_dir = relax_opt.get("traj_dir")
         save_full = self.task_cfg.get("save_full_traj", True)

@@ -37,7 +37,8 @@ def main() -> None:
     # BENCH_REPS=2,2,0 measures the cell_reps:auto vacuum pruning
     reps = tuple(int(x) for x in os.environ.get("BENCH_REPS", "2,2,1").split(","))
     derive = os.environ.get("BENCH_DERIVE", "1") != "0"  # A/B derive_subgraph
-    tag = (" pallas" if use_pallas else "") + ("" if derive else " 3-builds")
+    verlet = os.environ.get("BENCH_VERLET", "0") != "0"  # A/B Verlet candidate lists
+    tag = (" pallas" if use_pallas else "") + ("" if derive else " 3-builds") + (" verlet" if verlet else "")
     for b in b_list:
         batch = example_batch(b)
         for dname in dtypes:
@@ -47,7 +48,8 @@ def main() -> None:
                              cell_reps=reps, derive_subgraphs=derive)
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
             ef = make_mlff_energy_forces(model, variables)
-            run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0))
+            cf = (lambda bb: model.prepare_candidates(bb, 64)) if verlet else None
+            run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=steps, fmax=0.0, candidate_fn=cf))
             res = run(batch)
             _ = jax.device_get(res.energy[0])  # warm + fence
 

@@ -348,3 +348,39 @@ def test_derive_subgraph_exact(rng):
         np.testing.assert_allclose(np.asarray(got.vec), np.asarray(ref.vec), atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), atol=1e-6)
         np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), atol=1e-6)
+
+
+def test_candidate_refresh_exact(rng):
+    """Verlet candidate refresh == the full builder while the displacement
+    margin holds (see ops/pbc.py::CandidateTable) — bit-exact."""
+    from adsorbdiff_tpu.ops.pbc import (
+        candidate_topk_batched,
+        radius_graph_pbc_batched,
+        refresh_from_candidates_batched,
+    )
+    from tests.test_painn import make_batch
+
+    batch = make_batch(rng)
+    cand = candidate_topk_batched(
+        batch.pos, batch.cell, batch.atom_mask, k_cand=24, max_neighbors=8, reps=(1, 1, 0)
+    )
+    margin = float(np.asarray(cand.margin).min())
+    assert margin > 0
+    # per-atom displacement delta keeps 4*delta < margin -> exactness holds
+    delta = margin / 4 * 0.9
+    step = rng.uniform(-1, 1, batch.pos.shape).astype(np.float32)
+    step *= delta / np.linalg.norm(step, axis=-1, keepdims=True).max()
+    pos2 = batch.pos + jnp.asarray(step)
+    ref = radius_graph_pbc_batched(
+        pos2, batch.cell, batch.atom_mask, radius=6.0, max_neighbors=8, reps=(1, 1, 0)
+    )
+    got = refresh_from_candidates_batched(pos2, batch.cell, cand, radius=6.0, max_neighbors=8)
+    for name in ["src", "mask", "dist", "vec"]:
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)))
+    # a smaller cutoff applied at refresh time is exact too (radius-free table)
+    ref2 = radius_graph_pbc_batched(
+        pos2, batch.cell, batch.atom_mask, radius=4.0, max_neighbors=6, reps=(1, 1, 0)
+    )
+    got2 = refresh_from_candidates_batched(pos2, batch.cell, cand, radius=4.0, max_neighbors=6)
+    np.testing.assert_array_equal(np.asarray(got2.src), np.asarray(ref2.src))
+    np.testing.assert_array_equal(np.asarray(got2.mask), np.asarray(ref2.mask))

@@ -168,3 +168,30 @@ def test_lbfgs_early_exit_matches_full_scan(rng):
     np.testing.assert_array_equal(np.asarray(fast.traj_energy), np.asarray(full.traj_energy))
     np.testing.assert_array_equal(np.asarray(fast.traj_forces), np.asarray(full.traj_forces))
     assert int(fast.nsteps) == int(full.nsteps)
+
+
+def test_lbfgs_verlet_graph_parity(rng):
+    """L-BFGS with Verlet candidate tables (lax.cond margin rebuilds) ==
+    full graph builds every step — bit-exact trajectories (GemNet-OC tiny,
+    covering the static_graph dict path and the derived subgraphs)."""
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from adsorbdiff_tpu.relaxation.lbfgs import make_mlff_energy_forces
+    from tests.test_painn import make_batch as painn_batch
+
+    nprng = np.random.default_rng(7)
+    batch = painn_batch(nprng)
+    model = GemNetOC(
+        mode="s2ef", num_blocks=1, emb_size_atom=16, emb_size_edge=16,
+        cutoff=6.0, cutoff_aeaint=6.0, cutoff_qint=6.0,
+        max_neighbors=8, max_neighbors_aeaint=6, max_neighbors_qint=4,
+        cell_reps=(1, 1, 0),
+    )
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    ef = make_mlff_energy_forces(model, variables)
+    cf = lambda b: model.prepare_candidates(b, 24)  # noqa: E731
+    kw = dict(steps=15, fmax=0.0, maxstep=0.2)
+    full = jax.jit(lambda b: lbfgs_relax(ef, b, **kw))(batch)
+    fast = jax.jit(lambda b: lbfgs_relax(ef, b, candidate_fn=cf, **kw))(batch)
+    np.testing.assert_array_equal(np.asarray(full.batch.pos), np.asarray(fast.batch.pos))
+    np.testing.assert_array_equal(np.asarray(full.traj_energy), np.asarray(fast.traj_energy))
+    np.testing.assert_array_equal(np.asarray(full.traj_forces), np.asarray(fast.traj_forces))
