@@ -103,6 +103,7 @@ def run_pipeline(
         key = jax.random.PRNGKey(seed)
         for i, batch in enumerate(batcher):
             engine.run(batch, jax.random.fold_in(key, i), traj_dir=sample_dir)
+        engine.flush()  # stage 2 reads the trajectory dir
 
         # stage 2: traj -> relaxation-input shard (ref: run.py lmdb block)
         shard_path = os.path.join(step_dir, "final_struct")
@@ -114,6 +115,7 @@ def run_pipeline(
         relax_batcher = BucketedBatcher(relax_ds, batch_size, shuffle=False, seed=seed)
         for batch in relax_batcher:
             rengine.run(batch, traj_dir=relax_dir)
+        rengine.flush()  # the eval below reads the trajectory dirs
         relax_dirs.append(relax_dir)
 
     # stage 4: anomaly-filtered min-energy success rate (ref: scripts/eval.py)

@@ -134,6 +134,7 @@ class AdsorbDiffCalculator:
         engine = self._diffusion_engine(batch)
         key = key if key is not None else jax.random.PRNGKey(self.seed)
         res = engine.run(batch, key, traj_dir=traj_dir, skip_existing=False)
+        engine.flush()
         return batch_to_atoms(res.batch)[0]
 
     def calculate(self, atoms=None, properties=("energy", "forces"), system_changes=None) -> dict:
@@ -168,5 +169,6 @@ class AdsorbDiffCalculator:
             relax_opt, steps=steps, fmax=fmax,
         )
         res = engine.run(batch, traj_dir=traj_dir, skip_existing=False)
+        engine.flush()
         out = batch_to_atoms(res.batch, energy=res.energy, forces=res.forces)[0]
         return out

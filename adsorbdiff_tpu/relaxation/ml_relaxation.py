@@ -4,14 +4,18 @@ Rebuild of ``ml_relax`` / ``ml_diffuse`` (ref: adsorbdiff/relaxation/
 ml_relaxation.py:23-168).  The reference maintains a deque of batches with
 CUDA-OOM bisection-retry; with static padded shapes memory is known at compile
 time, so the drivers are straight loops: jit-compile once per bucket shape,
-one device dispatch per batch, trajectories written after the scan returns.
-Per-system trajectory files are named ``<sid>.adtraj.npz`` and skipped when
-already present (resumability, ref: sde_denoising_trainer.py:793-800).
+one device dispatch per batch, trajectory writes drained on a background
+thread so host IO overlaps the next batch's device work (call
+``engine.flush()`` before reading the trajectory directory).  Per-system
+trajectory files are named ``<sid>.adtraj.npz`` and skipped when already
+present or queued (resumability, ref: sde_denoising_trainer.py:793-800).
 """
 from __future__ import annotations
 
 import logging
 import os
+import queue
+import threading
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -24,6 +28,64 @@ from adsorbdiff_tpu.relaxation.lbfgs import LBFGSResult, lbfgs_relax, make_mlff_
 from adsorbdiff_tpu.runtime.trajectory import SUFFIX, Trajectory, check_traj_files
 
 
+class _AsyncWriter:
+    """Single background thread that drains trajectory writes so the host IO
+    (~70 ms/system for full relax trajectories) overlaps the next batch's
+    device dispatch.  Writes stay ordered; ``flush()`` joins before anything
+    reads the trajectory directory.  The reference writes ASE trajs inline on
+    the hot loop (ref: lbfgs_torch.py:117-140) — this is free throughput."""
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+        self._pending: set = set()  # (traj_dir, sid) keys submitted, not yet on disk
+        self._lock = threading.Lock()
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, kwargs, keys = item
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced at flush()
+                self._err = e
+            finally:
+                with self._lock:
+                    self._pending.difference_update(keys)
+
+    def submit(self, fn, *args, pending_keys=(), **kwargs) -> None:
+        with self._lock:
+            self._pending.update(pending_keys)
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        self._q.put((fn, args, kwargs, frozenset(pending_keys)))
+
+    def is_pending(self, key) -> bool:
+        with self._lock:
+            return key in self._pending
+
+    def flush(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+def _should_skip(writer: _AsyncWriter, batch: AtomsBatch, traj_dir: str) -> bool:
+    """Resumability check that treats queued-but-unwritten trajectories as
+    present, so ``skip_existing`` stays correct while writes are async."""
+    sids = [int(s) for s in np.asarray(batch.sid)]
+    missing = [s for s in sids if not writer.is_pending((traj_dir, s))]
+    return not missing or check_traj_files(missing, traj_dir)
+
+
 def _write_trajs(
     batch: AtomsBatch,
     traj_pos: np.ndarray,  # [T, B, N, 3]
@@ -33,6 +95,11 @@ def _write_trajs(
     save_full: bool = True,
 ) -> None:
     os.makedirs(traj_dir, exist_ok=True)
+    # device->host transfers happen here so async callers keep them off the
+    # dispatch path
+    traj_pos = np.asarray(traj_pos)
+    traj_energy = None if traj_energy is None else np.asarray(traj_energy)
+    traj_forces = None if traj_forces is None else np.asarray(traj_forces)
     natoms = np.asarray(batch.natoms)
     sids = np.asarray(batch.sid)
     written = set()
@@ -77,6 +144,11 @@ class DiffusionEngine:
         self.sampler = sampler
         self.static_fn = static_fn
         self._fns: Dict[Tuple[int, int], Callable] = {}
+        self._writer = _AsyncWriter()
+
+    def flush(self) -> None:
+        """Join pending async trajectory writes (call before reading them)."""
+        self._writer.flush()
 
     def _fn(self, batch: AtomsBatch):
         key = (batch.batch_size, batch.max_atoms)
@@ -100,12 +172,16 @@ class DiffusionEngine:
         save_full_traj: bool = True,
         skip_existing: bool = True,
     ) -> Optional[SampleResult]:
-        if traj_dir and skip_existing and check_traj_files([int(s) for s in np.asarray(batch.sid)], traj_dir):
+        if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
         result: SampleResult = self._fn(batch)(batch, key)
         if traj_dir:
-            _write_trajs(batch, np.asarray(result.traj_pos), traj_dir, save_full=save_full_traj)
+            keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]
+            self._writer.submit(
+                _write_trajs, batch, result.traj_pos, traj_dir,
+                save_full=save_full_traj, pending_keys=keys,
+            )
         return result
 
 
@@ -133,6 +209,11 @@ class RelaxationEngine:
         self.energy_forces_fn = energy_forces_fn
         self.candidate_fn = candidate_fn
         self._fns: Dict[Tuple[int, int], Callable] = {}
+        self._writer = _AsyncWriter()
+
+    def flush(self) -> None:
+        """Join pending async trajectory writes (call before reading them)."""
+        self._writer.flush()
 
     @classmethod
     def from_model(cls, model, variables, relax_opt: Optional[dict] = None, **kw) -> "RelaxationEngine":
@@ -165,18 +246,21 @@ class RelaxationEngine:
         save_full_traj: bool = True,
         skip_existing: bool = True,
     ) -> Optional[LBFGSResult]:
-        if traj_dir and skip_existing and check_traj_files([int(s) for s in np.asarray(batch.sid)], traj_dir):
+        if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
         result: LBFGSResult = self._fn(batch)(batch)
         if traj_dir:
-            _write_trajs(
+            keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]
+            self._writer.submit(
+                _write_trajs,
                 batch,
-                np.asarray(result.traj_pos),
+                result.traj_pos,
                 traj_dir,
-                traj_energy=np.asarray(result.traj_energy),
-                traj_forces=np.asarray(result.traj_forces),
+                traj_energy=result.traj_energy,
+                traj_forces=result.traj_forces,
                 save_full=save_full_traj,
+                pending_keys=keys,
             )
         return result
 
@@ -197,6 +281,7 @@ def ml_diffuse(batch: AtomsBatch, trainer, denoising_pos_params: dict, key, traj
     static_fn = trainer.sampling_static_fn() if hasattr(trainer, "sampling_static_fn") else None
     engine = DiffusionEngine(score_fn, denoising_pos_params, static_fn=static_fn)
     res = engine.run(batch, key, traj_dir=traj_dir, save_full_traj=save_full_traj)
+    engine.flush()
     return None if res is None else res.batch
 
 
@@ -204,6 +289,7 @@ def ml_relax(batch: AtomsBatch, model, variables, relax_opt=None, steps=300, fma
     """Functional facade matching the reference call site (ml_relaxation.py:23)."""
     engine = RelaxationEngine.from_model(model, variables, relax_opt, steps=steps, fmax=fmax)
     res = engine.run(batch, traj_dir=traj_dir, save_full_traj=save_full_traj)
+    engine.flush()
     if res is None:
         return None
     return res.batch.replace(energy=res.energy, forces=res.forces)

@@ -715,6 +715,7 @@ class DenoisingTrainer(BaseTrainer):
                 metrics_is2rs, metrics_is2re = self._relax_metrics(
                     batch, final.pos, np.zeros(batch.batch_size), metrics_is2rs, metrics_is2re
                 )
+        engine.flush()  # join async trajectory writes before returning
         if write_pos:
             self._write_relaxed_positions(ids, positions, chunk_idx)
         self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)
@@ -893,6 +894,7 @@ class S2EFTrainer(BaseTrainer):
                 metrics_is2rs, metrics_is2re = self._relax_metrics(
                     batch, res.batch.pos, res.energy, metrics_is2rs, metrics_is2re
                 )
+        engine.flush()  # join async trajectory writes before returning
         if write_pos:
             self._write_relaxed_positions(ids, positions, chunk_idx)
         self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)

@@ -65,10 +65,13 @@ def main() -> None:
     engine = DiffusionEngine(score_fn, PARAMS, static_fn=model.prepare_static)
     sample_dir = os.path.join(out, "sampled")
     engine.run(batches[0], jax.random.PRNGKey(1), traj_dir=sample_dir, skip_existing=False)  # warm
+    engine.flush()
     shutil.rmtree(sample_dir)
     t0 = time.perf_counter()
     for i, bb in enumerate(batches):
-        engine.run(bb, jax.random.PRNGKey(2 + i), traj_dir=sample_dir, skip_existing=False)
+        res = engine.run(bb, jax.random.PRNGKey(2 + i), traj_dir=sample_dir, skip_existing=False)
+    _ = jax.device_get(res.batch.pos[0, 0])  # fence the device queue
+    engine.flush()  # fence the async trajectory writes
     t_sample = (time.perf_counter() - t0) / (n_batches * b)
     print(f"stage 1 sampling ({which}): {t_sample*1000:.1f} ms/system "
           f"(incl. traj write)", flush=True)
@@ -89,12 +92,15 @@ def main() -> None:
     rbatches = list(BucketedBatcher(ds, relax_b, shuffle=False))
     relax_dir = os.path.join(out, "relaxations")
     rengine.run(rbatches[0], traj_dir=relax_dir, skip_existing=False)  # warm
+    rengine.flush()
     shutil.rmtree(relax_dir)
     t0 = time.perf_counter()
     n_relaxed = 0
     for bb in rbatches:
-        rengine.run(bb, traj_dir=relax_dir, skip_existing=False)
+        rres = rengine.run(bb, traj_dir=relax_dir, skip_existing=False)
         n_relaxed += bb.batch_size
+    _ = jax.device_get(rres.energy[0])  # fence the device queue
+    rengine.flush()  # fence the async trajectory writes
     t_relax = (time.perf_counter() - t0) / n_relaxed
     print(f"stage 3 relax ({relax_steps} steps): {t_relax*1000:.1f} ms/system "
           f"(incl. traj write)", flush=True)

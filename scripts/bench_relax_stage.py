@@ -68,11 +68,12 @@ def main() -> None:
             print(f"{label}: {dt:.2f} s per {steps}-step batch of {b} = "
                   f"{sps:.1f} system-steps/s ({dt / steps * 1000:.1f} ms/step)", flush=True)
 
-            if trace_dir and cd is None:
-                with jax.profiler.trace(trace_dir):
+            if trace_dir:
+                tdir = f"{trace_dir}_{dname}_B{b}"
+                with jax.profiler.trace(tdir):
                     r = run(batch)
                     _ = jax.device_get(r.energy[0])
-                print(f"trace written to {trace_dir}")
+                print(f"trace written to {tdir}")
 
 
 if __name__ == "__main__":

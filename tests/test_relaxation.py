@@ -127,9 +127,12 @@ def test_relaxation_engine_writes_trajs(tmp_path, rng):
     eng = RelaxationEngine(harmonic_fn(target), {"maxstep": 0.04, "memory": 20}, steps=50, fmax=0.01)
     res = eng.run(batch, traj_dir=str(tmp_path / "trajs"))
     assert res is not None
+    # resumability holds even while the async write is still queued
+    assert eng.run(batch, traj_dir=str(tmp_path / "trajs")) is None
+    eng.flush()
     assert os.path.exists(str(tmp_path / "trajs" / ("0" + SUFFIX)))
     assert os.path.exists(str(tmp_path / "trajs" / ("1" + SUFFIX)))
-    # resumability: second run skips
+    # resumability: second run skips (files now on disk, pending set drained)
     assert eng.run(batch, traj_dir=str(tmp_path / "trajs")) is None
 
 
@@ -142,6 +145,7 @@ def test_diffusion_engine_runs_and_writes(tmp_path, rng):
     eng = DiffusionEngine(score_fn, dict(num_steps=8, ads_std_low=0.1, ads_std_high=10, rot_std_low=0.01, rot_std_high=1.55))
     res = eng.run(batch, jax.random.PRNGKey(0), traj_dir=str(tmp_path / "d"))
     assert res is not None and res.traj_pos.shape[0] == 9
+    eng.flush()
     t = Trajectory.load(str(tmp_path / "d" / ("0" + SUFFIX)))
     assert len(t) == 9
 
@@ -195,3 +199,38 @@ def test_lbfgs_verlet_graph_parity(rng):
     np.testing.assert_array_equal(np.asarray(full.batch.pos), np.asarray(fast.batch.pos))
     np.testing.assert_array_equal(np.asarray(full.traj_energy), np.asarray(fast.traj_energy))
     np.testing.assert_array_equal(np.asarray(full.traj_forces), np.asarray(fast.traj_forces))
+
+
+def test_async_writer_pending_and_error_surfacing():
+    from adsorbdiff_tpu.relaxation.ml_relaxation import _AsyncWriter
+    import threading
+
+    w = _AsyncWriter()
+    gate = threading.Event()
+    done = []
+
+    def slow_write(x):
+        gate.wait(timeout=10)
+        done.append(x)
+
+    w.submit(slow_write, 1, pending_keys=[("d", 1), ("d", 2)])
+    assert w.is_pending(("d", 1)) and w.is_pending(("d", 2))
+    assert not w.is_pending(("d", 3))
+    gate.set()
+    w.flush()
+    assert done == [1]
+    assert not w.is_pending(("d", 1))
+
+    # errors queue up and surface at flush, then clear
+    def boom():
+        raise RuntimeError("disk full")
+
+    w.submit(boom, pending_keys=[("d", 9)])
+    try:
+        w.flush()
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    assert not w.is_pending(("d", 9))
+    w.flush()  # error cleared; idempotent
