@@ -85,6 +85,9 @@ class AdsorbDiffCalculator:
         max_atoms: Optional[int] = None,
         seed: int = 0,
     ) -> None:
+        from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+        setup_compilation_cache()  # model-scale jits persist across processes
         self.checkpoint_path = checkpoint_path
         self.mlff_checkpoint_path = mlff_checkpoint_path
         self.denoising_pos_params = {**DEFAULT_DENOISING_PARAMS, **(denoising_pos_params or {})}

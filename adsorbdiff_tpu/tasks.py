@@ -91,9 +91,11 @@ def new_trainer_context(config: dict):
     """Build (trainer, task) from a run config (ref: utils.py:976-1047)."""
     from types import SimpleNamespace
 
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
     from adsorbdiff_tpu.common.imports import setup_imports
 
     setup_imports()
+    setup_compilation_cache(config.get("compilation_cache_dir"))
     trainer_name = config.get("trainer", "denoising")
     trainer_cls = registry.get_trainer_class(trainer_name)
     trainer = trainer_cls(config)

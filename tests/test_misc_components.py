@@ -224,3 +224,20 @@ def test_element_embedding_tables():
     # ATOMIC_RADII is consumed by the denoising models; reference dict API,
     # picometers (ref: models/embeddings/atomic_radii.py: 6 -> 70.0)
     assert emb.ATOMIC_RADII[6] == 70.0 and emb.ATOMIC_RADII[1] == 25.0
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """setup_compilation_cache points jax at a disk cache and model-scale
+    compiles persist (cache entries appear; min-compile-time gate active)."""
+    import adsorbdiff_tpu.common.compile_cache as cc
+
+    monkeypatch.setattr(cc, "_DONE", False)
+    cache_dir = str(tmp_path / "xla")
+    assert cc.setup_compilation_cache(cache_dir) == cache_dir
+    assert cc.setup_compilation_cache("") is None  # disable sentinel
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # second call is a no-op that keeps the configured dir
+    assert cc.setup_compilation_cache("/elsewhere") == "/elsewhere"
+    assert jax.config.jax_compilation_cache_dir == cache_dir
