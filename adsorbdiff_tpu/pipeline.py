@@ -82,14 +82,18 @@ def run_pipeline(
 
     denoise_params = denoising_pos_params or diffusion_trainer.denoising_pos_params
     # one engine pair across all seeds: jit caches are per batch shape and
-    # must survive the seed loop
+    # must survive the seed loop.  Each stage dp-shards its batches over its
+    # trainer's mesh (systems are independent) — the whole pipeline runs on
+    # all chips of a pod slice when the trainers were built with one.
     engine = DiffusionEngine(
-        diffusion_trainer.score_fn, denoise_params, static_fn=diffusion_trainer.sampling_static_fn()
+        diffusion_trainer.score_fn, denoise_params, static_fn=diffusion_trainer.sampling_static_fn(),
+        mesh=getattr(diffusion_trainer, "mesh", None),
     )
     cand_hook = getattr(relax_trainer, "relax_candidate_fn", None)  # duck-typed trainers
     rengine = RelaxationEngine(
         relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax,
         candidate_fn=cand_hook(relax_opt) if cand_hook is not None else None,
+        mesh=getattr(relax_trainer, "mesh", None),
     )
     relax_dirs = []
     for seed in range(nsites):

@@ -133,16 +133,23 @@ class DiffusionEngine:
         denoising_pos_params: dict,
         sampler: str = "reverse_sde_rot",
         static_fn: Optional[Callable] = None,
+        mesh=None,
     ) -> None:
         """``static_fn``: optional ``batch -> static-graph`` precomputation
         (e.g. ``model.prepare_static``) hoisted out of the sampling scan; when
         given, ``score_fn`` is called as ``score_fn(batch, static)``.  Only
         adsorbate atoms move during sampling, so the cached slab-slab graph
-        rows stay exact (tests/test_pbc.py parity)."""
+        rows stay exact (tests/test_pbc.py parity).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — batches are dp-sharded
+        over it before dispatch (systems are independent, so this is exact;
+        tests/test_mesh_scaling.py).  Requires batch_size % mesh size == 0;
+        BucketedBatcher always yields full batches."""
         self.score_fn = score_fn
         self.params = dict(denoising_pos_params)
         self.sampler = sampler
         self.static_fn = static_fn
+        self.mesh = mesh
         self._fns: Dict[Tuple[int, int], Callable] = {}
         self._writer = _AsyncWriter()
 
@@ -175,6 +182,10 @@ class DiffusionEngine:
         if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
+        if self.mesh is not None:
+            from adsorbdiff_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
         result: SampleResult = self._fn(batch)(batch, key)
         if traj_dir:
             keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]
@@ -195,7 +206,10 @@ class RelaxationEngine:
         steps: int = 300,
         fmax: float = 0.01,
         candidate_fn: Optional[Callable] = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` — batches dp-shard over
+        it before dispatch (see DiffusionEngine)."""
         opt = dict(relax_opt or {})
         self.kwargs = dict(
             steps=int(opt.get("steps", steps)),
@@ -208,6 +222,7 @@ class RelaxationEngine:
         )
         self.energy_forces_fn = energy_forces_fn
         self.candidate_fn = candidate_fn
+        self.mesh = mesh
         self._fns: Dict[Tuple[int, int], Callable] = {}
         self._writer = _AsyncWriter()
 
@@ -249,6 +264,10 @@ class RelaxationEngine:
         if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
+        if self.mesh is not None:
+            from adsorbdiff_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
         result: LBFGSResult = self._fn(batch)(batch)
         if traj_dir:
             keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]

@@ -685,7 +685,7 @@ class DenoisingTrainer(BaseTrainer):
         ensure_fitted(self.state.scale_factors, warn=bool(self.config.get("is_debug")),
                       fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
-        engine = DiffusionEngine(self.score_fn, self.denoising_pos_params, static_fn=self.sampling_static_fn())
+        engine = DiffusionEngine(self.score_fn, self.denoising_pos_params, static_fn=self.sampling_static_fn(), mesh=self.mesh)
         traj_dir = (self.task_cfg.get("relax_opt", {}) or {}).get("traj_dir")
         save_full = self.task_cfg.get("save_full_traj", True)
         write_pos = self.task_cfg.get("write_pos", False)
@@ -866,6 +866,7 @@ class S2EFTrainer(BaseTrainer):
             steps=int(self.task_cfg.get("relaxation_steps", 300)),
             fmax=float(self.task_cfg.get("relaxation_fmax", 0.01)),
             candidate_fn=self.relax_candidate_fn(relax_opt),
+            mesh=self.mesh,
         )
         traj_dir = relax_opt.get("traj_dir")
         save_full = self.task_cfg.get("save_full_traj", True)
