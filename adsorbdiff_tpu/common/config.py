@@ -129,6 +129,8 @@ def build_config(args, args_override: Sequence[str] = ()) -> dict:
     config["amp"] = getattr(args, "amp", False)
     config["checkpoint"] = getattr(args, "checkpoint", None)
     config["cpu"] = getattr(args, "cpu", False)
+    if getattr(args, "num_devices", None) is not None:
+        config["num_devices"] = int(args.num_devices)
     return config
 
 

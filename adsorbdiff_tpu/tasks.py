@@ -96,9 +96,21 @@ def new_trainer_context(config: dict):
 
     setup_imports()
     setup_compilation_cache(config.get("compilation_cache_dir"))
+    if config.get("cpu"):
+        # force the CPU backend (ref flag --cpu; the axon sitecustomize
+        # otherwise pins jax_platforms=axon,cpu)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     trainer_name = config.get("trainer", "denoising")
     trainer_cls = registry.get_trainer_class(trainer_name)
-    trainer = trainer_cls(config)
+    kw = {}
+    if config.get("num_devices"):
+        from adsorbdiff_tpu.parallel import mesh as meshlib
+
+        n = int(config["num_devices"])
+        kw["mesh"] = meshlib.make_mesh(n) if n > 1 else None
+    trainer = trainer_cls(config, **kw)
 
     task_name = config.get("mode", "train")
     task_cls = registry.get_task_class(task_name)

@@ -62,6 +62,12 @@ def test_build_config_and_grid(tmp_path):
 
     cfg = build_config(Args(), ["optim.lr=0.5"])
     assert cfg["optim"]["lr"] == 0.5
+    assert "num_devices" not in cfg  # unset flag stays absent
+
+    class ArgsN(Args):
+        num_devices = 4
+
+    assert build_config(ArgsN(), [])["num_devices"] == 4
     (tmp_path / "sweep.yml").write_text("optim:\n  lr: [0.1, 0.2]\n  bs: [4, 8]\n")
     grid = create_grid(cfg, str(tmp_path / "sweep.yml"))
     assert len(grid) == 4
