@@ -298,15 +298,16 @@ def ml_diffuse(batch: AtomsBatch, trainer, denoising_pos_params: dict, key, traj
         return out1, out2
 
     static_fn = trainer.sampling_static_fn() if hasattr(trainer, "sampling_static_fn") else None
-    engine = DiffusionEngine(score_fn, denoising_pos_params, static_fn=static_fn)
+    engine = DiffusionEngine(score_fn, denoising_pos_params, static_fn=static_fn,
+                             mesh=getattr(trainer, "mesh", None))
     res = engine.run(batch, key, traj_dir=traj_dir, save_full_traj=save_full_traj)
     engine.flush()
     return None if res is None else res.batch
 
 
-def ml_relax(batch: AtomsBatch, model, variables, relax_opt=None, steps=300, fmax=0.01, traj_dir=None, save_full_traj=True):
+def ml_relax(batch: AtomsBatch, model, variables, relax_opt=None, steps=300, fmax=0.01, traj_dir=None, save_full_traj=True, mesh=None):
     """Functional facade matching the reference call site (ml_relaxation.py:23)."""
-    engine = RelaxationEngine.from_model(model, variables, relax_opt, steps=steps, fmax=fmax)
+    engine = RelaxationEngine.from_model(model, variables, relax_opt, steps=steps, fmax=fmax, mesh=mesh)
     res = engine.run(batch, traj_dir=traj_dir, save_full_traj=save_full_traj)
     engine.flush()
     if res is None:
