@@ -29,6 +29,9 @@ BASELINE_SYSTEM_STEPS_PER_SEC = 1600.0
 
 
 def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # reruns skip the model-scale compiles
     import jax
     import jax.numpy as jnp
 

@@ -5,6 +5,10 @@ Run:  JAX_COMPILATION_CACHE_DIR=/root/repo/.cache/jax_compile python scripts/ben
 """
 import sys, time
 sys.path.insert(0, ".")
+
+from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+setup_compilation_cache()  # reruns skip the model-scale compiles
 import numpy as np
 import jax, jax.numpy as jnp
 import optax

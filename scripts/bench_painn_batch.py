@@ -68,6 +68,9 @@ def run_for_batch(batch_size: int) -> float:
 
 
 def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # reruns skip the model-scale compiles
     print(f"devices: {jax.devices()}", flush=True)
     for b in [int(x) for x in os.environ.get("BENCH_B", "16,32,64").split(",")]:
         sps = run_for_batch(b)

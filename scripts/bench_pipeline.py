@@ -36,6 +36,9 @@ REF_A100_SYSTEMS_PER_HOUR = 3700.0  # generous end of the estimated band
 
 
 def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # reruns skip the model-scale compiles
     from adsorbdiff_tpu.data.buckets import BucketedBatcher
     from adsorbdiff_tpu.data.store import ShardDataset
     from adsorbdiff_tpu.models.gemnet_oc import GemNetOC

@@ -24,6 +24,9 @@ from scripts.bench_models import example_batch
 
 
 def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # reruns skip the model-scale compiles
     from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
     from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax, make_mlff_energy_forces
 

@@ -49,6 +49,9 @@ def make_model(which: str):
 
 
 def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # reruns skip the model-scale compiles
     from adsorbdiff_tpu.diffusion.sampler import reverse_diffusion
 
     which = os.environ.get("BENCH_MODEL", "eqv2")
