@@ -216,3 +216,27 @@ def test_success_rate_from_npz(tmp_path):
     assert per["5"] is True  # npz energy -4.0 vs dft -4.05
     assert per["6"] is False  # only candidate desorbed -> failure
     assert rate == pytest.approx(0.5)
+
+
+def test_eval_cli(tmp_path):
+    """scripts/eval.py — the reference's eval CLI shape over our artifacts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    d1 = tmp_path / "0" / "relaxations"; d1.mkdir(parents=True)
+    d2 = tmp_path / "1" / "relaxations"; d2.mkdir(parents=True)
+    make_traj(d1, 1, -1.0)
+    make_traj(d2, 2, -3.0)
+    targets = tmp_path / "targets.json"
+    targets.write_text(json.dumps({"1": -2.0, "2": -3.05}))
+    repo = os.path.dirname(os.path.dirname(__file__))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "eval.py"), "nsite", str(tmp_path),
+         "--targets", str(targets)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo + ":/root/.axon_site"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "success rate: 50.0%" in out.stdout, out.stdout
