@@ -86,20 +86,55 @@ def _should_skip(writer: _AsyncWriter, batch: AtomsBatch, traj_dir: str) -> bool
     return not missing or check_traj_files(missing, traj_dir)
 
 
+class _Rows:
+    """Per-system-row host view of a possibly multi-host-sharded array.
+
+    Under a global (multi-process) mesh, batches dp-shard the system axis
+    across processes and ``np.asarray`` on the full array would raise
+    (non-addressable shards).  This reads only the locally addressable rows
+    — so each host writes exactly the systems it computed, the multi-host
+    analogue of the reference's per-DDP-rank traj writes
+    (ref: lbfgs_torch.py:117-140)."""
+
+    def __init__(self, arr, b_axis: int) -> None:
+        self.b_axis = b_axis
+        if isinstance(arr, np.ndarray) or getattr(arr, "is_fully_addressable", True):
+            self.full, self.shards = np.asarray(arr), None
+        else:
+            self.full = None
+            self.shards = {}  # row -> (shard numpy, local row index)
+            for sh in arr.addressable_shards:
+                data = np.asarray(sh.data)
+                sl = sh.index[b_axis]
+                start = 0 if sl.start is None else sl.start
+                for j in range(data.shape[b_axis]):
+                    self.shards[start + j] = (data, j)
+
+    def rows(self, nrows: int):
+        return range(nrows) if self.full is not None else sorted(self.shards)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if self.full is not None:
+            return np.take(self.full, i, axis=self.b_axis)
+        data, j = self.shards[i]
+        return np.take(data, j, axis=self.b_axis)
+
+
 def _write_trajs(
-    batch: AtomsBatch,
-    traj_pos: np.ndarray,  # [T, B, N, 3]
+    batch: AtomsBatch,  # the UNSHARDED batch (host metadata, same everywhere)
+    traj_pos,  # [T, B, N, 3]
     traj_dir: str,
-    traj_energy: Optional[np.ndarray] = None,  # [T, B]
-    traj_forces: Optional[np.ndarray] = None,  # [T, B, N, 3]
+    traj_energy=None,  # [T, B]
+    traj_forces=None,  # [T, B, N, 3]
     save_full: bool = True,
 ) -> None:
     os.makedirs(traj_dir, exist_ok=True)
     # device->host transfers happen here so async callers keep them off the
-    # dispatch path
-    traj_pos = np.asarray(traj_pos)
-    traj_energy = None if traj_energy is None else np.asarray(traj_energy)
-    traj_forces = None if traj_forces is None else np.asarray(traj_forces)
+    # dispatch path; on multi-host meshes only the local rows are read
+    pos = _Rows(traj_pos, 1)
+    energy = None if traj_energy is None else _Rows(traj_energy, 1)
+    forces = None if traj_forces is None else _Rows(traj_forces, 1)
+    local = set(pos.rows(batch.batch_size))
     natoms = np.asarray(batch.natoms)
     sids = np.asarray(batch.sid)
     written = set()
@@ -107,17 +142,19 @@ def _write_trajs(
         sid = int(sids[i])
         if sid in written:  # batch padding repeats the tail system
             continue
-        written.add(sid)
+        written.add(sid)  # first occurrence claims the sid on EVERY process
+        if i not in local:
+            continue  # the owning process writes it
         n = int(natoms[i])
         frames = slice(None) if save_full else slice(-1, None)
         Trajectory(
-            positions=traj_pos[frames, i, :n],
+            positions=pos[i][frames, :n],
             numbers=np.asarray(batch.atomic_numbers)[i, :n],
             cell=np.asarray(batch.cell)[i],
             tags=np.asarray(batch.tags)[i, :n],
             fixed=np.asarray(batch.fixed)[i, :n],
-            energy=None if traj_energy is None else traj_energy[frames, i],
-            forces=None if traj_forces is None else traj_forces[frames, i, :n],
+            energy=None if energy is None else energy[i][frames],
+            forces=None if forces is None else forces[i][frames, :n],
             sid=sid,
             fid=int(np.asarray(batch.fid)[i]),
         ).save(os.path.join(traj_dir, str(sid)))
@@ -182,15 +219,17 @@ class DiffusionEngine:
         if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
+        orig = batch  # host metadata for the traj writer (sharded copies may
+        # not be fully addressable on multi-host meshes)
         if self.mesh is not None:
             from adsorbdiff_tpu.parallel.mesh import shard_batch
 
             batch = shard_batch(batch, self.mesh)
         result: SampleResult = self._fn(batch)(batch, key)
         if traj_dir:
-            keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]
+            keys = [(traj_dir, int(s)) for s in np.asarray(orig.sid)]
             self._writer.submit(
-                _write_trajs, batch, result.traj_pos, traj_dir,
+                _write_trajs, orig, result.traj_pos, traj_dir,
                 save_full=save_full_traj, pending_keys=keys,
             )
         return result
@@ -264,16 +303,17 @@ class RelaxationEngine:
         if traj_dir and skip_existing and _should_skip(self._writer, batch, traj_dir):
             logging.info(f"Skipping batch: {np.asarray(batch.sid).tolist()}")
             return None
+        orig = batch  # host metadata for the traj writer (see DiffusionEngine)
         if self.mesh is not None:
             from adsorbdiff_tpu.parallel.mesh import shard_batch
 
             batch = shard_batch(batch, self.mesh)
         result: LBFGSResult = self._fn(batch)(batch)
         if traj_dir:
-            keys = [(traj_dir, int(s)) for s in np.asarray(batch.sid)]
+            keys = [(traj_dir, int(s)) for s in np.asarray(orig.sid)]
             self._writer.submit(
                 _write_trajs,
-                batch,
+                orig,
                 result.traj_pos,
                 traj_dir,
                 traj_energy=result.traj_energy,

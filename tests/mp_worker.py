@@ -63,7 +63,29 @@ def main() -> None:
 
     stat = jax.jit(sample_stat)(sharded, jax.random.PRNGKey(11))
     stat = float(jax.device_get(stat))
-    print(f"RESULT pid={pid} loss={loss:.10f} sample_stat={stat:.6f}", flush=True)
+
+    # production engine path over the global mesh: dp-sharded dispatch +
+    # per-process trajectory writes (each host writes only the rows it owns,
+    # the multi-host analogue of the reference's per-DDP-rank traj files,
+    # ref: lbfgs_torch.py:117-140).  Each process gets its OWN directory so
+    # the parent test can assert sid ownership is disjoint and exhaustive.
+    traj_dir = os.environ.get("MP_TRAJ_DIR")
+    wrote_str = ""
+    if traj_dir:
+        import glob
+
+        from adsorbdiff_tpu.relaxation.ml_relaxation import DiffusionEngine
+
+        my_dir = os.path.join(traj_dir, f"pid{pid}")
+        engine = DiffusionEngine(trainer.score_fn, params, mesh=mesh)
+        engine.run(batch, jax.random.PRNGKey(11), traj_dir=my_dir, skip_existing=False)
+        engine.flush()
+        wrote = sorted(
+            int(os.path.basename(f).split(".")[0])
+            for f in glob.glob(os.path.join(my_dir, "*"))
+        )
+        wrote_str = " wrote=" + ",".join(map(str, wrote))
+    print(f"RESULT pid={pid} loss={loss:.10f} sample_stat={stat:.6f}{wrote_str}", flush=True)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,9 @@ from adsorbdiff_tpu.parallel import mesh as meshlib
 from tests.test_mesh_scaling import _make_trainer
 from tests.test_painn import make_batch
 
-RESULT_RE = re.compile(r"RESULT pid=(\d) loss=([-\d.e]+) sample_stat=([-\d.e]+)")
+RESULT_RE = re.compile(
+    r"RESULT pid=(\d) loss=([-\d.e]+) sample_stat=([-\d.e]+)(?: wrote=([\d,]*))?"
+)
 
 
 def _free_port() -> int:
@@ -60,13 +62,14 @@ def _single_process_reference():
 
 
 @pytest.mark.slow
-def test_two_process_mesh_matches_single_process():
+def test_two_process_mesh_matches_single_process(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [repo, "/root/.axon_site", env.get("PYTHONPATH", "")] if p
     )
+    env["MP_TRAJ_DIR"] = str(tmp_path)
     # workers set their own JAX_PLATFORMS/XLA_FLAGS before importing jax
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -77,15 +80,29 @@ def test_two_process_mesh_matches_single_process():
         for pid in range(2)
     ]
     outs = [p.communicate(timeout=600)[0] for p in procs]
-    results = {}
+    results, wrote = {}, {}
     for out, p in zip(outs, procs):
         assert p.returncode == 0, out[-3000:]
         m = RESULT_RE.search(out)
         assert m, out[-3000:]
         results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+        wrote[int(m.group(1))] = {int(s) for s in (m.group(4) or "").split(",") if s}
     assert set(results) == {0, 1}
     # both controllers must agree exactly (same global program)
     assert results[0] == results[1]
+
+    # engine-path trajectory writes: each host wrote exactly the dp rows it
+    # owns — disjoint, exhaustive, and readable (multi-host _write_trajs path)
+    assert wrote[0] and wrote[1]
+    assert wrote[0].isdisjoint(wrote[1])
+    assert wrote[0] | wrote[1] == set(range(8))
+    from adsorbdiff_tpu.runtime.trajectory import Trajectory
+
+    for pid, sids in wrote.items():
+        for sid in sids:
+            traj = Trajectory.load(str(tmp_path / f"pid{pid}" / str(sid)))
+            assert traj.positions.shape[1:] == (20, 3)
+            assert np.isfinite(traj.positions).all()
 
     ref_loss, ref_stat = _single_process_reference()
     # single- vs multi-process GSPMD re-association noise only
