@@ -90,11 +90,25 @@ def run_pipeline(
         mesh=getattr(diffusion_trainer, "mesh", None),
     )
     cand_hook = getattr(relax_trainer, "relax_candidate_fn", None)  # duck-typed trainers
-    rengine = RelaxationEngine(
-        relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax,
-        candidate_fn=cand_hook(relax_opt) if cand_hook is not None else None,
-        mesh=getattr(relax_trainer, "mesh", None),
-    )
+    continuous = bool((relax_opt or {}).get("continuous", False))
+    if continuous:
+        # slot-refill engine: converged systems retire at chunk boundaries and
+        # pending ones take their slots (relaxation/continuous.py) — the
+        # throughput choice when convergence times are spread
+        from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
+
+        rengine = ContinuousRelaxationEngine(
+            relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax,
+            candidate_fn=cand_hook(relax_opt) if cand_hook is not None else None,
+            slots=int((relax_opt or {}).get("slots", batch_size)),
+            mesh=getattr(relax_trainer, "mesh", None),
+        )
+    else:
+        rengine = RelaxationEngine(
+            relax_trainer.energy_forces_fn, relax_opt, steps=relaxation_steps, fmax=relaxation_fmax,
+            candidate_fn=cand_hook(relax_opt) if cand_hook is not None else None,
+            mesh=getattr(relax_trainer, "mesh", None),
+        )
     relax_dirs = []
     for seed in range(nsites):
         step_dir = os.path.join(out_dir, str(seed))
@@ -116,9 +130,12 @@ def run_pipeline(
 
         # stage 3: MLFF relaxation (ref: run.py com block)
         relax_ds = ShardDataset({"src": shard_path})
-        relax_batcher = BucketedBatcher(relax_ds, batch_size, shuffle=False, seed=seed)
-        for batch in relax_batcher:
-            rengine.run(batch, traj_dir=relax_dir)
+        if continuous:
+            rengine.run_dataset(relax_ds, traj_dir=relax_dir)
+        else:
+            relax_batcher = BucketedBatcher(relax_ds, batch_size, shuffle=False, seed=seed)
+            for batch in relax_batcher:
+                rengine.run(batch, traj_dir=relax_dir)
         rengine.flush()  # the eval below reads the trajectory dirs
         relax_dirs.append(relax_dir)
 

@@ -860,6 +860,8 @@ class S2EFTrainer(BaseTrainer):
                       fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
         relax_opt = dict(self.task_cfg.get("relax_opt", {}) or {})
+        if relax_opt.get("continuous", False):
+            return self._run_relaxations_continuous(relax_opt, split)
         engine = RelaxationEngine(
             self.energy_forces_fn,
             relax_opt,
@@ -896,6 +898,67 @@ class S2EFTrainer(BaseTrainer):
                     batch, res.batch.pos, res.energy, metrics_is2rs, metrics_is2re
                 )
         engine.flush()  # join async trajectory writes before returning
+        if write_pos:
+            self._write_relaxed_positions(ids, positions, chunk_idx)
+        self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)
+
+    def _run_relaxations_continuous(self, relax_opt: dict, split: str) -> None:
+        """run_relaxations via the slot-refill engine (relaxation/
+        continuous.py): converged systems retire at chunk boundaries and
+        pending ones take their slots, so the relax-bound stage never pays
+        forwards for finished systems.  Per-system L-BFGS semantics (each
+        system follows its batch-of-one trajectory).  ``num_relaxation_batches``
+        does not apply (the engine owns batching)."""
+        from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
+
+        engine = ContinuousRelaxationEngine(
+            self.energy_forces_fn,
+            relax_opt,
+            steps=int(self.task_cfg.get("relaxation_steps", 300)),
+            fmax=float(self.task_cfg.get("relaxation_fmax", 0.01)),
+            candidate_fn=self.relax_candidate_fn(relax_opt),
+            slots=int(relax_opt.get("slots", self.relax_batcher.batch_size)),
+            mesh=self.mesh,
+        )
+        results = engine.run_dataset(
+            self.relax_dataset,
+            traj_dir=relax_opt.get("traj_dir"),
+            save_full_traj=self.task_cfg.get("save_full_traj", True),
+        )
+        # metrics/write_pos: group target rows with the existing batcher and
+        # substitute each row's relaxed position/energy from the results
+        metrics_is2rs: Dict[str, Any] = {}
+        metrics_is2re: Dict[str, Any] = {}
+        ids, positions, chunk_idx = [], [], []
+        write_pos = self.task_cfg.get("write_pos", False)
+        has_targets = None
+        for batch in self.relax_batcher:
+            sids = np.asarray(batch.sid)
+            natoms = np.asarray(batch.natoms)
+            if not all(int(s) in results for s in sids):
+                continue  # skipped on resume (existing trajectories)
+            final_pos = np.asarray(batch.pos).copy()
+            final_e = np.zeros(batch.batch_size, np.float32)
+            for b in range(batch.batch_size):
+                r = results[int(sids[b])]
+                final_pos[b, : natoms[b]] = r.pos
+                final_e[b] = r.energy
+            if write_pos:
+                seen = set()
+                for b in range(batch.batch_size):
+                    sid = int(sids[b])
+                    if sid in seen:  # batch padding repeats the tail system
+                        continue
+                    seen.add(sid)
+                    ids.append(str(sid))
+                    positions.append(final_pos[b, : natoms[b]])
+                    chunk_idx.append(int(natoms[b]))
+            if has_targets is None:
+                has_targets = bool(np.any(np.asarray(batch.y_relaxed) != 0))
+            if has_targets:
+                metrics_is2rs, metrics_is2re = self._relax_metrics(
+                    batch, final_pos, final_e, metrics_is2rs, metrics_is2re
+                )
         if write_pos:
             self._write_relaxed_positions(ids, positions, chunk_idx)
         self._log_relax_metrics(metrics_is2rs, metrics_is2re, split)
