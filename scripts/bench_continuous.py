@@ -1,0 +1,139 @@
+"""Continuous-batching vs barrier relaxation engine A/B (published-size
+GemNet-OC MLFF, the production relax path).
+
+Convergence times on real relaxation workloads are widely spread; the barrier
+engine pays ``max(steps in batch)`` forwards per batch while the continuous
+engine pays ``~mean(steps)`` per slot (plus chunk quantization and refill
+overhead).  Real convergence needs a trained MLFF, so the spread is emulated
+with per-system step BUDGETS (the engines do identical per-step work either
+way; a budget retirement exercises exactly the same slot-refill machinery as
+an fmax retirement).
+
+Protocol (same-session):
+  1. measure the barrier per-step cost from a fixed 100-step scan (chained
+     timing, docs/PERF.md methodology) — the barrier engine's cost on any
+     budget workload is ``sum_batches (max(budgets)) * ms_per_step`` (its
+     early-exit while_loop stops at the batch max; compute-only, i.e.
+     credited with perfectly hidden trajectory IO);
+  2. run the continuous engine END TO END (including trajectory writes,
+     chunk readbacks, and refills) on the same budget workloads and compare.
+
+    BENCH_NSYS=64 BENCH_CHUNK=32 python scripts/bench_continuous.py
+    BENCH_SCENARIOS=uniform300,spread,tail BENCH_DTYPES=bf16 ...
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.bench_models import example_batch
+
+
+def budgets_for(scenario: str, nsys: int, rng: np.random.Generator) -> np.ndarray:
+    if scenario == "uniform300":  # no spread: pure engine-overhead comparison
+        return np.full(nsys, 300, np.int64)
+    if scenario == "spread":  # uniform 50..300 (mild spread)
+        return rng.integers(50, 301, nsys)
+    if scenario == "tail":  # most systems converge fast, a slow tail runs long
+        fast = rng.integers(40, 81, nsys)
+        slow = rng.integers(240, 301, nsys)
+        return np.where(rng.random(nsys) < 0.8, fast, slow)
+    raise ValueError(scenario)
+
+
+def main() -> None:
+    from adsorbdiff_tpu.common.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()
+    from adsorbdiff_tpu.data.schema import uncollate
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
+    from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax, make_mlff_energy_forces
+
+    nsys = int(os.environ.get("BENCH_NSYS", "64"))
+    slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    scenarios = os.environ.get("BENCH_SCENARIOS", "uniform300,spread,tail").split(",")
+    dname = os.environ.get("BENCH_DTYPES", "bf16")
+    reps = tuple(int(x) for x in os.environ.get("BENCH_REPS", "2,2,0").split(","))
+    print(f"devices: {jax.devices()}  nsys={nsys} slots={slots} chunk={chunk} {dname} reps={reps}")
+
+    batch = example_batch(slots)
+    if os.environ.get("BENCH_TINY"):  # CPU smoke of the protocol itself
+        model = GemNetOC(mode="s2ef", num_blocks=1, emb_size_atom=16, emb_size_edge=16,
+                         cutoff=6.0, cutoff_aeaint=6.0, cutoff_qint=6.0, max_neighbors=8,
+                         max_neighbors_aeaint=6, max_neighbors_qint=4, cell_reps=reps)
+    else:
+        model = GemNetOC(mode="s2ef", compute_dtype=None if dname == "f32" else "bfloat16",
+                         cell_reps=reps)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    ef = make_mlff_energy_forces(model, variables)
+    cf = lambda bb: model.prepare_candidates(bb, 64)  # noqa: E731  (production default)
+
+    # --- barrier per-step cost: fixed 100-step scan, chained timing ---
+    run = jax.jit(lambda bb: lbfgs_relax(ef, bb, steps=100, fmax=0.0, candidate_fn=cf))
+    r = run(batch)
+    _ = jax.device_get(r.energy[0])  # warm
+
+    def timed(nreps):
+        bb = batch
+        t0 = time.perf_counter()
+        for _ in range(nreps):
+            rr = run(bb)
+            bb = bb.replace(pos=bb.pos + jnp.mean(rr.energy) * 1e-12)
+        _ = jax.device_get(rr.energy[0])
+        return time.perf_counter() - t0
+
+    t1, t3 = timed(1), timed(3)
+    ms_step = (t3 - t1) / 2 / 100 * 1000
+    print(f"barrier per-step: {ms_step:.1f} ms/step (B={slots})", flush=True)
+
+    # --- workload systems (published size, unique sids) ---
+    systems = uncollate(example_batch(nsys))
+    for i, s in enumerate(systems):
+        s.sid = i
+
+    rng = np.random.default_rng(0)
+    for scenario in scenarios:
+        budgets = budgets_for(scenario, nsys, rng)
+        # barrier engine cost (derived): arrival-order batches of `slots`,
+        # each pays its max budget per step; IO assumed perfectly hidden
+        batch_maxes = [int(budgets[i : i + slots].max()) for i in range(0, nsys, slots)]
+        barrier_s = sum(batch_maxes) * ms_step / 1000
+        ideal_s = float(budgets.sum()) / slots * ms_step / 1000  # zero-overhead bound
+
+        eng = ContinuousRelaxationEngine(
+            ef, dict(maxstep=0.04, memory=50), steps=300, fmax=1e-12,
+            candidate_fn=cf, slots=slots, chunk_steps=chunk,
+        )
+        td = tempfile.mkdtemp(prefix="bench_cont_")
+        try:
+            t0 = time.perf_counter()
+            res = eng.run_systems(systems, traj_dir=td, budgets=budgets.tolist(), max_atoms=batch.max_atoms)
+            cont_s = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+        assert len(res) == nsys
+        print(json.dumps({
+            "scenario": scenario,
+            "budget_sum": int(budgets.sum()),
+            "barrier_s_derived": round(barrier_s, 1),
+            "continuous_s_measured": round(cont_s, 1),
+            "ideal_s": round(ideal_s, 1),
+            "speedup_vs_barrier": round(barrier_s / cont_s, 2),
+            "overhead_vs_ideal": round(cont_s / ideal_s, 2),
+            "barrier_systems_per_hour": round(nsys / barrier_s * 3600, 1),
+            "continuous_systems_per_hour": round(nsys / cont_s * 3600, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
