@@ -223,6 +223,48 @@ def _make_chunk_fn(
     return jax.jit(chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad_rows",))
+def _gather_slots(state: _SlotState, idx: jnp.ndarray, n_pad_rows: int) -> _SlotState:
+    """Narrow the slot axis to ``idx`` (drain-phase batch narrowing).
+
+    Per-system history makes slot state gatherable: row ``idx[j]`` of every
+    per-slot array — including the ring buffers — IS system j's complete
+    optimizer state.  The last ``n_pad_rows`` entries of ``idx`` are padding
+    (duplicates of a live row); they are marked done+finalized so they never
+    emit frames or retire.  Candidate tables are dropped — the caller rebuilds
+    them for the narrowed batch."""
+
+    def take(axis):
+        return lambda a: jnp.take(a, idx, axis=axis)
+
+    b_new = idx.shape[0]
+    pad = jnp.arange(b_new) >= (b_new - n_pad_rows)
+    return _SlotState(
+        batch=jax.tree.map(take(0), state.batch),
+        r0=take(0)(state.r0),
+        f0=take(0)(state.f0),
+        s_buf=take(1)(state.s_buf),
+        y_buf=take(1)(state.y_buf),
+        rho=take(1)(state.rho),
+        it=take(0)(state.it),
+        budget=take(0)(state.budget),
+        done=take(0)(state.done) | pad,
+        conv=take(0)(state.conv) & jnp.logical_not(pad),
+        finalized=take(0)(state.finalized) | pad,
+        cand=(),
+    )
+
+
+def _remap_buffers(buffers: Dict[int, list], mapping: Dict[int, int]) -> None:
+    """Writer-thread task: renumber per-slot frame accumulators after a
+    narrow (old slot -> new slot).  Pop-all-then-set handles overlapping
+    old/new indices."""
+    moved = {old: buffers.pop(old) for old in list(mapping) if old in buffers}
+    for old, new in mapping.items():
+        if old in moved:
+            buffers[new] = moved[old]
+
+
 @jax.jit
 def _refill(state: _SlotState, slot: jnp.ndarray, row: AtomsBatch, budget: jnp.ndarray) -> _SlotState:
     """Replace slot ``slot`` with a fresh system: its batch row, a zeroed
@@ -262,20 +304,36 @@ def _collect_chunk(
     """Writer-thread task: device->host readback, per-slot frame accumulation,
     trajectory writes for retiring systems.  ``buffers``/``results`` are
     mutated ONLY on the writer thread (tasks are FIFO, so a retiring slot's
-    buffer is popped before the next occupant's frames arrive)."""
-    tp, te, tf, em = (np.asarray(a) for a in arrays)
-    for b in occupied:
-        rows = np.nonzero(em[:, b])[0]
-        if rows.size:
-            buffers.setdefault(b, []).append((tp[rows, b], te[rows, b], tf[rows, b]))
+    buffer is popped before the next occupant's frames arrive).
+
+    When full trajectories are not needed (``traj_dir is None`` or
+    ``save_full=False``) only each retiree's FINAL frame leaves the device —
+    a retiring occupant's final frame is always in the current chunk (retire
+    happens at the first boundary where done & finalized) — keeping the
+    per-chunk device->host traffic to the emit mask plus a few rows."""
+    dtp, dte, dtf, dem = arrays
+    em = np.asarray(dem)
+    full = traj_dir is not None and save_full
+    if full:
+        tp, te, tf = np.asarray(dtp), np.asarray(dte), np.asarray(dtf)
+        for b in occupied:
+            rows = np.nonzero(em[:, b])[0]
+            if rows.size:
+                buffers.setdefault(b, []).append((tp[rows, b], te[rows, b], tf[rows, b]))
     for rec in retire:
         b = rec["slot"]
-        chunks = buffers.pop(b, [])
-        pos = np.concatenate([c[0] for c in chunks], axis=0)
-        e = np.concatenate([c[1] for c in chunks], axis=0)
-        f = np.concatenate([c[2] for c in chunks], axis=0)
         sys: System = rec["system"]
         n = sys.natoms
+        if full:
+            chunks = buffers.pop(b, [])
+            pos = np.concatenate([c[0] for c in chunks], axis=0)
+            e = np.concatenate([c[1] for c in chunks], axis=0)
+            f = np.concatenate([c[2] for c in chunks], axis=0)
+        else:
+            last = int(np.nonzero(em[:, b])[0][-1])  # final frame, this chunk
+            pos = np.asarray(dtp[last, b])[None]
+            e = np.asarray(dte[last, b])[None]
+            f = np.asarray(dtf[last, b])[None]
         results[sys.sid] = RelaxedSystem(
             sid=sys.sid,
             fid=sys.fid,
@@ -339,6 +397,12 @@ class ContinuousRelaxationEngine:
         self.energy_forces_fn = energy_forces_fn
         self.candidate_fn = candidate_fn
         self.mesh = mesh
+        # drain narrowing: once the pool is empty and at most half the slots
+        # are live, gather the survivors into a power-of-two batch (each
+        # narrowed width compiles once; the persistent compilation cache
+        # makes that a one-time cost).  Off by default; not with a mesh.
+        self.drain_narrowing = bool(opt.get("drain_narrowing", False))
+        self.narrow_events: list = []  # (live, new_width) — introspection
         self._chunk_fns: Dict[Tuple[int, int], Callable] = {}
         self._writer = _AsyncWriter()
         if jax.process_count() > 1:
@@ -481,8 +545,15 @@ class ContinuousRelaxationEngine:
 
         while True:
             state, tp, te, tf, emit = chunk_fn(state)
-            flags = jax.device_get((state.done & state.finalized, state.it, state.conv))
-            retirable, its, convs = (np.asarray(x) for x in flags)
+            # ONE packed readback per chunk (each device_get pays a full
+            # round trip on remote-device runtimes)
+            packed = jnp.concatenate([
+                (state.done & state.finalized).astype(jnp.int32),
+                state.it,
+                state.conv.astype(jnp.int32),
+            ])
+            flags = np.asarray(jax.device_get(packed)).reshape(3, b)
+            retirable, its, convs = flags[0].astype(bool), flags[1], flags[2].astype(bool)
             retire = []
             for i in range(b):
                 if occupants[i] is not None and retirable[i]:
@@ -522,6 +593,26 @@ class ContinuousRelaxationEngine:
                 # (built for the previous occupant); rebuilding here keeps the
                 # margin invariant exact for every occupant
                 state = state._replace(cand=self.candidate_fn(state.batch))
+            if self.drain_narrowing and self.mesh is None and not pool:
+                live = [i for i in range(b) if occupants[i] is not None]
+                b_new = 1 << max(0, len(live) - 1).bit_length() if live else 0
+                if live and b_new <= b // 2:
+                    # drain narrowing: gather the survivors into a smaller
+                    # batch (forward cost is ~linear in B) — exact, because
+                    # per-system history rows move with their system
+                    pad_rows = b_new - len(live)
+                    idx = live + [live[0]] * pad_rows
+                    self._writer.submit(
+                        _remap_buffers, buffers, {old: new for new, old in enumerate(live)}
+                    )
+                    state = _gather_slots(state, jnp.asarray(idx, jnp.int32), pad_rows)
+                    if self.candidate_fn is not None:
+                        state = state._replace(cand=self.candidate_fn(state.batch))
+                    occupants = {new: occupants[old] for new, old in enumerate(live)}
+                    occupants.update({j: None for j in range(len(live), b_new)})
+                    b = b_new
+                    chunk_fn = self._chunk_fn(b, n_pad)
+                    self.narrow_events.append((len(live), b_new))
             if all(o is None for o in occupants.values()) and not pool:
                 break
         self.flush()

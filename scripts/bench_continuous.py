@@ -110,17 +110,22 @@ def main() -> None:
         barrier_s = sum(batch_maxes) * ms_step / 1000
         ideal_s = float(budgets.sum()) / slots * ms_step / 1000  # zero-overhead bound
 
+        opt = dict(maxstep=0.04, memory=50)
+        if os.environ.get("BENCH_NARROW"):
+            opt["drain_narrowing"] = True
         eng = ContinuousRelaxationEngine(
-            ef, dict(maxstep=0.04, memory=50), steps=300, fmax=1e-12,
+            ef, opt, steps=300, fmax=1e-12,
             candidate_fn=cf, slots=slots, chunk_steps=chunk,
         )
-        td = tempfile.mkdtemp(prefix="bench_cont_")
+        with_traj = os.environ.get("BENCH_TRAJ", "1") != "0"
+        td = tempfile.mkdtemp(prefix="bench_cont_") if with_traj else None
         try:
             t0 = time.perf_counter()
             res = eng.run_systems(systems, traj_dir=td, budgets=budgets.tolist(), max_atoms=batch.max_atoms)
             cont_s = time.perf_counter() - t0
         finally:
-            shutil.rmtree(td, ignore_errors=True)
+            if td:
+                shutil.rmtree(td, ignore_errors=True)
         assert len(res) == nsys
         print(json.dumps({
             "scenario": scenario,
