@@ -96,13 +96,57 @@ def main() -> None:
     ms_step = (t3 - t1) / 2 / 100 * 1000
     print(f"barrier per-step: {ms_step:.1f} ms/step (B={slots})", flush=True)
 
+    if os.environ.get("BENCH_STEPTIME"):
+        # device-side cost of the continuous chunk itself (no host loop):
+        # chained chunk calls fenced by one device_get
+        eng = ContinuousRelaxationEngine(
+            ef, dict(maxstep=0.04, memory=50), steps=300, fmax=1e-12,
+            candidate_fn=cf, slots=slots, chunk_steps=chunk,
+        )
+        st = eng._init_state(batch, np.full(slots, 300, np.int64))
+        cfn = eng._chunk_fn(slots, batch.max_atoms)
+        t0 = time.perf_counter()
+        s2 = cfn(st)[0]
+        _ = jax.device_get(s2.it)
+        print(f"first chunk (compile+run): {time.perf_counter() - t0:.1f} s", flush=True)
+
+        def ctimed(n):
+            s = st
+            t0 = time.perf_counter()
+            for _ in range(n):
+                s = cfn(s)[0]
+            _ = jax.device_get(s.it)
+            return time.perf_counter() - t0
+
+        t1, t4 = ctimed(1), ctimed(4)
+        print(f"chunk device: {(t4 - t1) / 3:.2f} s per {chunk}-step chunk = "
+              f"{(t4 - t1) / 3 / chunk * 1000:.1f} ms/step (barrier {ms_step:.1f})", flush=True)
+
     # --- workload systems (published size, unique sids) ---
     systems = uncollate(example_batch(nsys))
     for i, s in enumerate(systems):
         s.sid = i
 
     rng = np.random.default_rng(0)
-    for scenario in scenarios:
+    # ONE engine for every scenario (production shape: the pipeline reuses
+    # its engine across seeds), warmed so compile/executable-load stays out
+    # of the timed window — the barrier per-step measurement above is warmed
+    # too; production amortizes these once per process
+    opt = dict(maxstep=0.04, memory=50)
+    if os.environ.get("BENCH_NARROW"):
+        opt["drain_narrowing"] = True
+    eng = ContinuousRelaxationEngine(
+        ef, opt, steps=300, fmax=1e-12,
+        candidate_fn=cf, slots=slots, chunk_steps=chunk,
+    )
+    warm = uncollate(example_batch(slots + 1))
+    for i, s in enumerate(warm):
+        s.sid = 10_000 + i
+    eng.run_systems(warm, budgets=[1] * len(warm), max_atoms=batch.max_atoms)
+    print("engine warmed (chunk + retire + refill compiled)", flush=True)
+
+    with_traj = os.environ.get("BENCH_TRAJ", "1") != "0"
+    for scenario in [s for s in scenarios if s and s != "none"]:
         budgets = budgets_for(scenario, nsys, rng)
         # barrier engine cost (derived): arrival-order batches of `slots`,
         # each pays its max budget per step; IO assumed perfectly hidden
@@ -110,14 +154,6 @@ def main() -> None:
         barrier_s = sum(batch_maxes) * ms_step / 1000
         ideal_s = float(budgets.sum()) / slots * ms_step / 1000  # zero-overhead bound
 
-        opt = dict(maxstep=0.04, memory=50)
-        if os.environ.get("BENCH_NARROW"):
-            opt["drain_narrowing"] = True
-        eng = ContinuousRelaxationEngine(
-            ef, opt, steps=300, fmax=1e-12,
-            candidate_fn=cf, slots=slots, chunk_steps=chunk,
-        )
-        with_traj = os.environ.get("BENCH_TRAJ", "1") != "0"
         td = tempfile.mkdtemp(prefix="bench_cont_") if with_traj else None
         try:
             t0 = time.perf_counter()
