@@ -90,11 +90,18 @@ def run_pipeline(
         mesh=getattr(diffusion_trainer, "mesh", None),
     )
     cand_hook = getattr(relax_trainer, "relax_candidate_fn", None)  # duck-typed trainers
-    continuous = bool((relax_opt or {}).get("continuous", False))
+    from adsorbdiff_tpu.relaxation.continuous import resolve_continuous
+
+    continuous = resolve_continuous(
+        relax_opt, relaxation_fmax, mesh=getattr(relax_trainer, "mesh", None),
+        slots=int((relax_opt or {}).get("slots", batch_size)),
+    )
     if continuous:
         # slot-refill engine: converged systems retire at chunk boundaries and
         # pending ones take their slots (relaxation/continuous.py) — the
-        # throughput choice when convergence times are spread
+        # throughput choice when convergence times are spread (auto-selected
+        # whenever fmax-based stopping makes spread possible; see
+        # resolve_continuous)
         from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
 
         rengine = ContinuousRelaxationEngine(

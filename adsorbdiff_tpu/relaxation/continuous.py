@@ -51,6 +51,33 @@ from adsorbdiff_tpu.relaxation.ml_relaxation import _AsyncWriter
 from adsorbdiff_tpu.runtime.trajectory import Trajectory, check_traj_files
 
 
+def resolve_continuous(relax_opt: Optional[dict], fmax: float, mesh=None,
+                       slots: Optional[int] = None) -> bool:
+    """Resolve ``relax_opt["continuous"]`` — default ``"auto"``.
+
+    ``True``/``False`` are explicit overrides.  ``"auto"`` selects the
+    continuous engine exactly when its measured win condition holds
+    (docs/PERF.md round 4): convergence-based stopping (``fmax > 0``)
+    spreads per-system step counts, which is where slot refill beats the
+    barrier engine (1.19–1.54x measured on TPU under budget spreads);
+    fixed-budget runs (``fmax <= 0``, zero spread) keep the barrier scan,
+    which is strictly cheaper there (0.86x).  Auto also falls back to the
+    barrier engine on multi-host runs and on meshes that do not divide the
+    slot count — refill is a host-side decision and the continuous engine
+    is single-process (see :class:`ContinuousRelaxationEngine`).
+    """
+    choice = (relax_opt or {}).get("continuous", "auto")
+    if choice != "auto":
+        return bool(choice)
+    if fmax <= 0:
+        return False
+    if jax.process_count() > 1:
+        return False
+    if mesh is not None and slots is not None and slots % mesh.size != 0:
+        return False
+    return True
+
+
 class RelaxedSystem(NamedTuple):
     """Per-system result record (host-side)."""
 

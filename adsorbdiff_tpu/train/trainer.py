@@ -860,7 +860,13 @@ class S2EFTrainer(BaseTrainer):
                       fitted=self.scale_factors_fitted)
         assert self.relax_batcher is not None, "no relax_dataset configured"
         relax_opt = dict(self.task_cfg.get("relax_opt", {}) or {})
-        if relax_opt.get("continuous", False):
+        from adsorbdiff_tpu.relaxation.continuous import resolve_continuous
+
+        if resolve_continuous(
+            relax_opt, float(self.task_cfg.get("relaxation_fmax", 0.01)),
+            mesh=self.mesh,
+            slots=int(relax_opt.get("slots", self.relax_batcher.batch_size)),
+        ):
             return self._run_relaxations_continuous(relax_opt, split)
         engine = RelaxationEngine(
             self.energy_forces_fn,

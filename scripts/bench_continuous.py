@@ -60,7 +60,8 @@ def main() -> None:
 
     nsys = int(os.environ.get("BENCH_NSYS", "64"))
     slots = int(os.environ.get("BENCH_SLOTS", "8"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunks = [int(x) for x in os.environ.get("BENCH_CHUNK", "32").split(",")]
+    chunk = chunks[0]
     scenarios = os.environ.get("BENCH_SCENARIOS", "uniform300,spread,tail").split(",")
     dname = os.environ.get("BENCH_DTYPES", "bf16")
     reps = tuple(int(x) for x in os.environ.get("BENCH_REPS", "2,2,0").split(","))
@@ -128,52 +129,58 @@ def main() -> None:
         s.sid = i
 
     rng = np.random.default_rng(0)
-    # ONE engine for every scenario (production shape: the pipeline reuses
-    # its engine across seeds), warmed so compile/executable-load stays out
-    # of the timed window — the barrier per-step measurement above is warmed
-    # too; production amortizes these once per process
+    # one budget draw per scenario, shared by every chunk size in the sweep
+    scenarios = [s for s in scenarios if s and s != "none"]
+    budget_map = {s: budgets_for(s, nsys, rng) for s in scenarios}
+    with_traj = os.environ.get("BENCH_TRAJ", "1") != "0"
     opt = dict(maxstep=0.04, memory=50)
     if os.environ.get("BENCH_NARROW"):
         opt["drain_narrowing"] = True
-    eng = ContinuousRelaxationEngine(
-        ef, opt, steps=300, fmax=1e-12,
-        candidate_fn=cf, slots=slots, chunk_steps=chunk,
-    )
-    warm = uncollate(example_batch(slots + 1))
-    for i, s in enumerate(warm):
-        s.sid = 10_000 + i
-    eng.run_systems(warm, budgets=[1] * len(warm), max_atoms=batch.max_atoms)
-    print("engine warmed (chunk + retire + refill compiled)", flush=True)
 
-    with_traj = os.environ.get("BENCH_TRAJ", "1") != "0"
-    for scenario in [s for s in scenarios if s and s != "none"]:
-        budgets = budgets_for(scenario, nsys, rng)
-        # barrier engine cost (derived): arrival-order batches of `slots`,
-        # each pays its max budget per step; IO assumed perfectly hidden
-        batch_maxes = [int(budgets[i : i + slots].max()) for i in range(0, nsys, slots)]
-        barrier_s = sum(batch_maxes) * ms_step / 1000
-        ideal_s = float(budgets.sum()) / slots * ms_step / 1000  # zero-overhead bound
+    for chunk in chunks:
+        # ONE engine for every scenario (production shape: the pipeline reuses
+        # its engine across seeds), warmed so compile/executable-load stays out
+        # of the timed window — the barrier per-step measurement above is
+        # warmed too; production amortizes these once per process
+        eng = ContinuousRelaxationEngine(
+            ef, opt, steps=300, fmax=1e-12,
+            candidate_fn=cf, slots=slots, chunk_steps=chunk,
+        )
+        warm = uncollate(example_batch(slots + 1))
+        for i, s in enumerate(warm):
+            s.sid = 10_000 + i
+        eng.run_systems(warm, budgets=[1] * len(warm), max_atoms=batch.max_atoms)
+        print(f"engine warmed (chunk={chunk}: chunk + retire + refill compiled)", flush=True)
 
-        td = tempfile.mkdtemp(prefix="bench_cont_") if with_traj else None
-        try:
-            t0 = time.perf_counter()
-            res = eng.run_systems(systems, traj_dir=td, budgets=budgets.tolist(), max_atoms=batch.max_atoms)
-            cont_s = time.perf_counter() - t0
-        finally:
-            if td:
-                shutil.rmtree(td, ignore_errors=True)
-        assert len(res) == nsys
-        print(json.dumps({
-            "scenario": scenario,
-            "budget_sum": int(budgets.sum()),
-            "barrier_s_derived": round(barrier_s, 1),
-            "continuous_s_measured": round(cont_s, 1),
-            "ideal_s": round(ideal_s, 1),
-            "speedup_vs_barrier": round(barrier_s / cont_s, 2),
-            "overhead_vs_ideal": round(cont_s / ideal_s, 2),
-            "barrier_systems_per_hour": round(nsys / barrier_s * 3600, 1),
-            "continuous_systems_per_hour": round(nsys / cont_s * 3600, 1),
-        }), flush=True)
+        for scenario in scenarios:
+            budgets = budget_map[scenario]
+            # barrier engine cost (derived): arrival-order batches of `slots`,
+            # each pays its max budget per step; IO assumed perfectly hidden
+            batch_maxes = [int(budgets[i : i + slots].max()) for i in range(0, nsys, slots)]
+            barrier_s = sum(batch_maxes) * ms_step / 1000
+            ideal_s = float(budgets.sum()) / slots * ms_step / 1000  # zero-overhead bound
+
+            td = tempfile.mkdtemp(prefix="bench_cont_") if with_traj else None
+            try:
+                t0 = time.perf_counter()
+                res = eng.run_systems(systems, traj_dir=td, budgets=budgets.tolist(), max_atoms=batch.max_atoms)
+                cont_s = time.perf_counter() - t0
+            finally:
+                if td:
+                    shutil.rmtree(td, ignore_errors=True)
+            assert len(res) == nsys
+            print(json.dumps({
+                "scenario": scenario,
+                "chunk": chunk,
+                "budget_sum": int(budgets.sum()),
+                "barrier_s_derived": round(barrier_s, 1),
+                "continuous_s_measured": round(cont_s, 1),
+                "ideal_s": round(ideal_s, 1),
+                "speedup_vs_barrier": round(barrier_s / cont_s, 2),
+                "overhead_vs_ideal": round(cont_s / ideal_s, 2),
+                "barrier_systems_per_hour": round(nsys / barrier_s * 3600, 1),
+                "continuous_systems_per_hour": round(nsys / cont_s * 3600, 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -320,3 +320,19 @@ def test_continuous_drain_narrowing_with_verlet(rng):
         # test_continuous_slot_composition_invariance.
         np.testing.assert_allclose(base[sid].pos, narrow[sid].pos, atol=1e-3)
         assert base[sid].nsteps == narrow[sid].nsteps
+
+
+def test_resolve_continuous_auto():
+    """Engine auto-selection (resolve_continuous): continuous exactly when
+    fmax-based stopping makes convergence spread possible; explicit
+    True/False override; barrier on meshes that don't divide the slots."""
+    from adsorbdiff_tpu.relaxation.continuous import resolve_continuous
+
+    assert resolve_continuous({"continuous": True}, fmax=0.0) is True
+    assert resolve_continuous({"continuous": False}, fmax=0.01) is False
+    assert resolve_continuous({}, fmax=0.01) is True
+    assert resolve_continuous(None, fmax=0.01) is True
+    assert resolve_continuous({}, fmax=0.0) is False  # fixed budget -> barrier
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    assert resolve_continuous({}, fmax=0.01, mesh=mesh, slots=8) is True
+    assert resolve_continuous({}, fmax=0.01, mesh=mesh, slots=6) is False
