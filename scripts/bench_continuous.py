@@ -19,6 +19,8 @@ Protocol (same-session):
      chunk readbacks, and refills) on the same budget workloads and compare.
 
     BENCH_NSYS=64 BENCH_CHUNK=32 python scripts/bench_continuous.py
+    BENCH_CHUNK=32,16,64 ...   # chunk-size sweep (one barrier anchor,
+                               # shared budget draws, one engine per chunk)
     BENCH_SCENARIOS=uniform300,spread,tail BENCH_DTYPES=bf16 ...
 """
 import json

@@ -85,6 +85,10 @@ def test_s2ef_run_relaxations_writes_results(tmp_path, rng):
     relax = make_s2ef_dataset(tmp_path, rng, 6, "relax")
     cfg = s2ef_config(train, relax_src=relax, run_dir=str(tmp_path))
     cfg["task"]["relax_opt"]["traj_dir"] = str(tmp_path / "trajs")
+    # continuous: false keeps the barrier run_relaxations path covered
+    # in-suite (auto->continuous is covered by test_task_dispatch_train_and_
+    # relax below and tests/test_continuous.py)
+    cfg["task"]["relax_opt"]["continuous"] = False
     tr = S2EFTrainer(cfg, mesh=None)
     tr.init_state(next(iter(tr.train_batcher)))
     tr.run_relaxations()
