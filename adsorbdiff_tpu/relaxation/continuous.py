@@ -52,7 +52,8 @@ from adsorbdiff_tpu.runtime.trajectory import Trajectory, check_traj_files
 
 
 def resolve_continuous(relax_opt: Optional[dict], fmax: float, mesh=None,
-                       slots: Optional[int] = None) -> bool:
+                       slots: Optional[int] = None,
+                       num_relaxation_batches: Optional[int] = None) -> bool:
     """Resolve ``relax_opt["continuous"]`` — default ``"auto"``.
 
     ``True``/``False`` are explicit overrides.  ``"auto"`` selects the
@@ -62,14 +63,37 @@ def resolve_continuous(relax_opt: Optional[dict], fmax: float, mesh=None,
     barrier engine (1.19–1.54x measured on TPU under budget spreads);
     fixed-budget runs (``fmax <= 0``, zero spread) keep the barrier scan,
     which is strictly cheaper there (0.86x).  Auto also falls back to the
-    barrier engine on multi-host runs and on meshes that do not divide the
-    slot count — refill is a host-side decision and the continuous engine
-    is single-process (see :class:`ContinuousRelaxationEngine`).
+    barrier engine on meshes that do not divide the slot count and when
+    ``num_relaxation_batches`` caps the run (the continuous engine streams
+    systems, not batches, so it cannot honor a batch cap — ref semantics:
+    ocp_trainer.py:576).
+
+    The effective threshold is ``relax_opt["fmax"]`` when present (both
+    engines treat it as the authoritative override), else ``fmax``.
     """
-    choice = (relax_opt or {}).get("continuous", "auto")
+    opt = relax_opt or {}
+    choice = opt.get("continuous", "auto")
+    if isinstance(choice, str) and choice != "auto":
+        # YAML round-trips like continuous: "false" must not bool()-coerce
+        # to True — parse the common spellings, reject the rest loudly.
+        lowered = choice.strip().lower()
+        if lowered in ("true", "on", "yes", "1"):
+            return True
+        if lowered in ("false", "off", "no", "0"):
+            return False
+        raise ValueError(
+            f"relax_opt['continuous'] must be true/false/'auto', got {choice!r}"
+        )
     if choice != "auto":
         return bool(choice)
+    fmax = float(opt.get("fmax", fmax))  # engines honor the opt-level override
     if fmax <= 0:
+        return False
+    if num_relaxation_batches is not None and num_relaxation_batches < int(1e9):
+        logging.info(
+            "relax_opt.continuous=auto: task.num_relaxation_batches=%d set — "
+            "the continuous engine streams systems and cannot honor a batch "
+            "cap; using the barrier engine.", num_relaxation_batches)
         return False
     if jax.process_count() > 1:
         return False

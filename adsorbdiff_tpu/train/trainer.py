@@ -866,6 +866,7 @@ class S2EFTrainer(BaseTrainer):
             relax_opt, float(self.task_cfg.get("relaxation_fmax", 0.01)),
             mesh=self.mesh,
             slots=int(relax_opt.get("slots", self.relax_batcher.batch_size)),
+            num_relaxation_batches=self.task_cfg.get("num_relaxation_batches"),
         ):
             return self._run_relaxations_continuous(relax_opt, split)
         engine = RelaxationEngine(

@@ -336,3 +336,20 @@ def test_resolve_continuous_auto():
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
     assert resolve_continuous({}, fmax=0.01, mesh=mesh, slots=8) is True
     assert resolve_continuous({}, fmax=0.01, mesh=mesh, slots=6) is False
+    # relax_opt['fmax'] is the authoritative threshold (both engines read it):
+    # opt fmax 0 + task fmax 0.01 is a fixed-budget run -> barrier, and the
+    # converse selects continuous (ADVICE round 4).
+    assert resolve_continuous({"fmax": 0.0}, fmax=0.01) is False
+    assert resolve_continuous({"fmax": 0.05}, fmax=0.0) is True
+    # num_relaxation_batches caps batches; the continuous engine streams
+    # systems and cannot honor it -> barrier under auto, override still wins.
+    assert resolve_continuous({}, fmax=0.01, num_relaxation_batches=2) is False
+    assert resolve_continuous({}, fmax=0.01, num_relaxation_batches=int(1e9)) is True
+    assert resolve_continuous({"continuous": True}, fmax=0.01,
+                              num_relaxation_batches=2) is True
+    # quoted YAML strings parse, unknown strings raise (no bool() coercion)
+    assert resolve_continuous({"continuous": "false"}, fmax=0.01) is False
+    assert resolve_continuous({"continuous": "off"}, fmax=0.01) is False
+    assert resolve_continuous({"continuous": "true"}, fmax=0.0) is True
+    with pytest.raises(ValueError):
+        resolve_continuous({"continuous": "maybe"}, fmax=0.01)
