@@ -434,13 +434,15 @@ class GridMLPFFN(nn.Module):
     hidden: int
     c_out: int
     grid_res: int = 18
+    grid_mode: str = "gauss"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cdt = compute_dtype()
         scalars = jax.nn.silu(nn.Dense(self.hidden, name="scalar_mlp")(x[..., 0, :]))
         y = SO3Linear(self.c_in, self.hidden, self.lmax, name="so3_linear_1")(x)
-        to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
+        to_grid, from_grid = s2_grid_matrices(
+            self.lmax, self.grid_res, self.grid_res, self.grid_mode)
         g = jnp.einsum("gc,...cf->...gf", jnp.asarray(to_grid, y.dtype), y)
         g = nn.Dense(self.hidden, use_bias=False, dtype=cdt, name="grid_mlp_0")(g)
         g = jax.nn.silu(g)
@@ -488,6 +490,7 @@ class SO2Attention(nn.Module):
     max_num_elements: int
     edge_channels: Tuple[int, ...]  # rad trunk: (n_gauss + 2*edge_ch, edge_ch, edge_ch)
     grid_res: int = 18
+    grid_mode: str = "gauss"
     alpha_drop: float = 0.0
     training: bool = False
     use_pallas: bool = False  # fused S^2-activation kernel
@@ -601,7 +604,8 @@ class SO2Attention(nn.Module):
         # :176-200): l=0 <- silu(gating scalars); l>0 <- S^2 grid silu with
         # the m-truncated rescaled grid matrices (ref so3.py SO3_Grid);
         # columns pre-permuted to the truncated m-primary layout
-        to_grid, from_grid = s2_grid_matrices(self.lmax, self.grid_res, self.grid_res)
+        to_grid, from_grid = s2_grid_matrices(
+            self.lmax, self.grid_res, self.grid_res, self.grid_mode)
         to_grid_m = to_grid[:, order[:n_active]]
         from_grid_m = from_grid[order[:n_active], :]
         if self.use_pallas:
@@ -681,6 +685,7 @@ class EquiformerV2(nn.Module):
     lmax: int = 4
     mmax: int = 2
     grid_resolution: int = 18
+    grid_mode: str = "gauss"  # "e3nn" = soft-grid + component scale (imports)
     edge_channels: int = 128
     num_distance_basis: int = 600  # GaussianSmearing(0, cutoff, 600, 2.0)
     cutoff: float = 12.0
@@ -832,7 +837,8 @@ class EquiformerV2(nn.Module):
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 self.sphere_channels, self.max_num_elements, rad_trunk,
-                grid_res=self.grid_resolution, alpha_drop=self.alpha_drop,
+                grid_res=self.grid_resolution, grid_mode=self.grid_mode,
+                alpha_drop=self.alpha_drop,
                 training=self.training, use_pallas=self.use_pallas,
                 use_pallas_rotate=self.use_pallas_rotate,
                 use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
@@ -841,7 +847,8 @@ class EquiformerV2(nn.Module):
             x = x + self._branch_drop(y)
             y = EquivariantLayerNormSH(self.lmax, name=f"norm_ffn_{i}")(x)
             y = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
-                           self.sphere_channels, self.grid_resolution, name=f"ffn_{i}")(y)
+                           self.sphere_channels, self.grid_resolution,
+                           grid_mode=self.grid_mode, name=f"ffn_{i}")(y)
             x = x + self._branch_drop(y)
             x = jnp.where(batch.atom_mask[..., None, None], x, 0.0)
 
@@ -852,7 +859,7 @@ class EquiformerV2(nn.Module):
                 self.lmax, self.mmax, self.sphere_channels, self.attn_hidden_channels,
                 self.num_heads, self.attn_alpha_channels, self.attn_value_channels,
                 1, self.max_num_elements, rad_trunk, grid_res=self.grid_resolution,
-                use_pallas=self.use_pallas,
+                grid_mode=self.grid_mode, use_pallas=self.use_pallas,
                 use_pallas_rotate=self.use_pallas_rotate,
                 use_pallas_conv1=self.use_pallas_conv1, cutoff=self.cutoff,
                 num_gauss=self.num_distance_basis, name=f"force_block{tag}",
@@ -862,7 +869,8 @@ class EquiformerV2(nn.Module):
 
         if self.mode == "s2ef":
             e = GridMLPFFN(self.lmax, self.sphere_channels, self.ffn_hidden_channels,
-                           1, self.grid_resolution, name="energy_block")(x)
+                           1, self.grid_resolution, grid_mode=self.grid_mode,
+                           name="energy_block")(x)
             e_atom = e[..., 0, 0]
             energy = jnp.sum(jnp.where(batch.atom_mask, e_atom, 0.0), axis=1) / self.avg_num_nodes
             return {"energy": energy, "forces": force_head("")}

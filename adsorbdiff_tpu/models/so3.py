@@ -376,29 +376,106 @@ def scatter_as_gather_perm(dim: int, positions) -> np.ndarray:
     return inv
 
 
-@functools.lru_cache(maxsize=8)
-def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int) -> Tuple[np.ndarray, np.ndarray]:
+def soft_grid_weights(res_beta: int) -> np.ndarray:
+    """Beta quadrature weights for the midpoint (``(j+0.5)/n*pi``) grid.
+
+    Unique weights making ``sum_j w_j P_l(cos beta_j)`` exact against
+    ``int_0^pi P_l(cos b) sin b db = 2*delta_{l0}`` for every degree
+    l = 0..res_beta-1 (full Legendre-Vandermonde moment system, float64).
+    By the Driscoll–Healy theorem these coincide with the closed-form
+    SOFT/Kostelec–Rockmore weights e3nn packages as
+    ``o3._s2grid._quadrature_weights(res_beta//2)`` (up to e3nn's global
+    rescale, which its ``FromS2Grid`` normalization folds back out) — so a
+    soft-grid transform built on them reproduces e3nn bit-for-bit in f64.
+    Checked against the closed form in tests/test_so3.py.
+    """
+    betas = (np.arange(res_beta) + 0.5) / res_beta * np.pi
+    ct = np.cos(betas)
+    # moments: rows l, columns j; P_l via recurrence in float64
+    p = np.zeros((res_beta, res_beta))
+    p[0] = 1.0
+    if res_beta > 1:
+        p[1] = ct
+    for l in range(2, res_beta):
+        p[l] = ((2 * l - 1) * ct * p[l - 1] - (l - 1) * p[l - 2]) / l
+    rhs = np.zeros(res_beta)
+    rhs[0] = 2.0
+    return np.linalg.solve(p, rhs)
+
+
+@functools.lru_cache(maxsize=16)
+def s2_grid_matrices(lmax: int, res_beta: int, res_alpha: int,
+                     mode: str = "gauss") -> Tuple[np.ndarray, np.ndarray]:
     """(to_grid [G, (L)^2], from_grid [(L)^2, G]) with from @ to == I.
 
-    Gauss-Legendre nodes in cos(beta) x uniform alpha (ref contract:
-    SO3_Grid via e3nn ToS2Grid/FromS2Grid, so3.py:534-643).
-    """
-    x_gl, w_gl = np.polynomial.legendre.leggauss(res_beta)
+    ``mode="gauss"``: Gauss-Legendre nodes in cos(beta) x uniform alpha,
+    'integral'-normalized basis — this repo's original quadrature (exact
+    roundtrip, NOT what e3nn checkpoints were trained with).
+
+    ``mode="e3nn"``: reference-exact reconstruction of e3nn's
+    ``ToS2Grid``/``FromS2Grid`` with ``normalization="component"`` as the
+    reference's ``SO3_Grid`` builds them (ref: so3.py:534-643 +
+    equiformer_v2_oc20.py:306-312): midpoint betas ``(j+0.5)/n*pi``,
+    uniform alphas ``2*pi*j/n``, e3nn's y-up grid embedding
+    (``angles_to_xyz``: x = sin b sin a, y = cos b, z = sin b cos a),
+    Driscoll–Healy beta weights, and the component per-l scale
+    ``c_l = sqrt(4*pi / ((2l+1)(lmax+1)))`` applied before / removed after
+    the grid (it reaches the pointwise nonlinearity, so it is part of the
+    model function).  ``c_l`` is pinned by e3nn's documented semantics, not
+    copied code (e3nn is unavailable in this image): (i) the roundtrip
+    ``FromS2Grid(ToS2Grid(x)) == x`` forces the from-side scale to be the
+    exact inverse; (ii) e3nn's stated contract for ``component`` — iid
+    unit-variance coefficients give a grid signal where every degree l
+    contributes EQUAL variance, total 1 — with orthonormal-basis evaluation
+    (Unsold: sum_m Y_lm(x)^2 = (2l+1)/(4pi)) uniquely gives
+    ``c_l^2 (2l+1)/(4pi) = 1/(lmax+1)``; (iii) the companion ``norm`` mode
+    (per-component variance 1/(2l+1)) must differ by exactly sqrt(2l+1),
+    matching e3nn's constant-in-l ``norm`` factor.  The matrices are
+    expressed directly in OUR real-SH basis: for any orthogonal per-l basis
+    change ``P`` between e3nn's harmonics and ours, ``T_ours = T_e3nn @ P``
+    and ``Y_e3nn = P @ Y_ours`` cancel (and diag(c_l) commutes with the
+    per-l blocks of P), leaving exactly "our basis evaluated at e3nn's
+    physical points" — so imported e3nn-trained checkpoints see the
+    quadrature and scaling they were trained with.
+"""
     alphas = np.linspace(0, 2 * np.pi, res_alpha, endpoint=False)
-    ct = x_gl  # cos(beta)
-    st = np.sqrt(1 - ct**2)
-    pts = np.stack(
-        [
-            np.outer(st, np.cos(alphas)).ravel(),
-            np.outer(st, np.sin(alphas)).ravel(),
-            np.outer(ct, np.ones_like(alphas)).ravel(),
-        ],
-        axis=-1,
-    )
+    if mode == "e3nn":
+        betas = (np.arange(res_beta) + 0.5) / res_beta * np.pi
+        ct, st = np.cos(betas), np.sin(betas)
+        # e3nn angles_to_xyz (y-up): beta from +y, alpha about y from +z
+        pts = np.stack(
+            [
+                np.outer(st, np.sin(alphas)).ravel(),
+                np.outer(ct, np.ones_like(alphas)).ravel(),
+                np.outer(st, np.cos(alphas)).ravel(),
+            ],
+            axis=-1,
+        )
+        w_beta = soft_grid_weights(res_beta)
+    elif mode == "gauss":
+        ct, w_beta = np.polynomial.legendre.leggauss(res_beta)
+        st = np.sqrt(1 - ct**2)
+        pts = np.stack(
+            [
+                np.outer(st, np.cos(alphas)).ravel(),
+                np.outer(st, np.sin(alphas)).ravel(),
+                np.outer(ct, np.ones_like(alphas)).ravel(),
+            ],
+            axis=-1,
+        )
+    else:
+        raise ValueError(f"unknown s2 grid mode {mode!r}")
     y = real_sph_harm(lmax, pts)  # [(L)^2, G]
-    w = (np.outer(w_gl, np.ones_like(alphas)) * (2 * np.pi / res_alpha)).ravel()
+    w = (np.outer(w_beta, np.ones_like(alphas)) * (2 * np.pi / res_alpha)).ravel()
     to_grid = y.T
     from_grid = y * w  # quadrature: integral of Y_i Y_j over S^2 = delta_ij
+    if mode == "e3nn":
+        c = np.concatenate(
+            [np.full(2 * l + 1, math.sqrt(4 * np.pi / ((2 * l + 1) * (lmax + 1))))
+             for l in range(lmax + 1)]
+        )
+        to_grid = to_grid * c[None, :]
+        from_grid = from_grid / c[:, None]
     return to_grid.astype(np.float32), from_grid.astype(np.float32)
 
 

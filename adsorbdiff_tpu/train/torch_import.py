@@ -653,6 +653,12 @@ def reference_model_config_to_ours(ref_cfg: Dict[str, Any]) -> Dict[str, Any]:
         # replicated for parity, see models/equiformer_v2.py docstring)
         out.setdefault("radii_pm_bug_compat", True)
         out.setdefault("grid_resolution", 18)
+        # e3nn-trained checkpoints expect the soft-grid (midpoint-beta)
+        # quadrature + component per-l scale in every S^2 activation
+        # (ref: so3.py:534-643, normalization="component" at
+        # equiformer_v2_oc20.py:306-312); our training default is
+        # Gauss-Legendre ("gauss").  See so3.s2_grid_matrices.
+        out.setdefault("grid_mode", "e3nn")
     return out
 
 

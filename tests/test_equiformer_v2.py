@@ -174,3 +174,27 @@ def test_compute_dtype_bf16(model_and_params, rng):
     np.testing.assert_allclose(np.asarray(f16), np.asarray(f32), atol=0.05 * scale + 1e-6)
     v16 = m16.init(jax.random.PRNGKey(0), batch)
     assert jax.tree.structure(v16["params"]) == jax.tree.structure(variables["params"])
+
+
+def test_grid_mode_e3nn(model_and_params, rng):
+    """grid_mode="e3nn" (the checkpoint-import quadrature: soft midpoint grid
+    + e3nn component per-l scale, so3.s2_grid_matrices) runs the SAME params,
+    stays equivariant, and genuinely changes the function (the quadrature of
+    the non-bandlimited silu projection is part of the model)."""
+    model, variables = model_and_params
+    batch = make_batch(rng)
+    f1, _ = model.apply(variables, batch)
+    m_e3 = EquiformerV2(**TINY, so3_denoising=True, for_denoising=True, grid_mode="e3nn")
+    g1, g2 = m_e3.apply(variables, batch)
+    assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
+    d, ref = np.abs(np.asarray(g1) - np.asarray(f1)).max(), np.abs(np.asarray(f1)).max()
+    assert d > 1e-6  # different quadrature => different function
+    assert d < 10 * ref  # but the same model up to S^2-act differences
+    r = jnp.asarray(Rotation.random(random_state=5).as_matrix().astype(np.float32))
+    rot = batch.replace(
+        pos=jnp.einsum("bnd,ed->bne", batch.pos, r),
+        cell=jnp.einsum("bnd,ed->bne", batch.cell, r),
+    )
+    h1, _ = m_e3.apply(variables, rot)
+    np.testing.assert_allclose(
+        np.asarray(h1), np.einsum("bnd,ed->bne", np.asarray(g1), np.asarray(r)), atol=3e-4)

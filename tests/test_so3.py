@@ -138,3 +138,48 @@ def test_decomposed_edge_rotation_matches_dense_wigner(rng):
         np.testing.assert_allclose(got[e], p @ d @ x[e], atol=2e-5)
         np.testing.assert_allclose(got_inv[e], d.T @ p.T @ v[e], atol=2e-5)
         np.testing.assert_allclose(got_n0[e], d.T @ p.T[:, :n0] @ v[e, :n0], atol=2e-5)
+
+
+def test_soft_grid_weights_match_closed_form():
+    """Moment-system weights == the closed-form Driscoll-Healy/SOFT weights
+    e3nn packages (o3._s2grid._quadrature_weights): for midpoint betas
+    b_j = (2j+1)pi/(2n),  w_j = (4/n) sin(b_j) sum_{k<n/2} sin((2k+1)b_j)/(2k+1)."""
+    from adsorbdiff_tpu.models.so3 import soft_grid_weights
+
+    for n in (8, 18, 32):
+        b = (np.arange(n) + 0.5) / n * np.pi
+        k = np.arange(n // 2)
+        cf = 4.0 / n * np.sin(b) * (
+            np.sin((2 * k[None, :] + 1) * b[:, None]) / (2 * k[None, :] + 1)
+        ).sum(1)
+        got = soft_grid_weights(n)
+        np.testing.assert_allclose(got, cf, atol=1e-13)
+        assert abs(got.sum() - 2.0) < 1e-12  # integrates sin(b) db exactly
+
+
+def test_s2_grid_e3nn_mode_invariants():
+    """mode="e3nn" (soft grid + component scale): exact roundtrip, and the
+    e3nn 'component' contract — iid unit-variance coefficients produce a grid
+    signal with EQUAL per-degree variance summing to 1 (the property that
+    pins the per-l scale; see s2_grid_matrices docstring)."""
+    from adsorbdiff_tpu.models.so3 import soft_grid_weights
+
+    lmax, res = 6, 18
+    to_grid, from_grid = s2_grid_matrices(lmax, res, res, "e3nn")
+    dim = (lmax + 1) ** 2
+    np.testing.assert_allclose(
+        np.asarray(from_grid, np.float64) @ np.asarray(to_grid, np.float64),
+        np.eye(dim), atol=1e-5)
+    # uniform-measure weights over the grid: w_beta x (2pi/res_alpha) / 4pi
+    w = (np.outer(soft_grid_weights(res), np.ones(res)) * (2 * np.pi / res)).ravel()
+    w = w / (4 * np.pi)
+    t64 = np.asarray(to_grid, np.float64)
+    per_l = np.array([
+        (w[:, None] * t64[:, l * l:(l + 1) * (l + 1)] ** 2).sum()
+        for l in range(lmax + 1)
+    ])
+    np.testing.assert_allclose(per_l, np.full(lmax + 1, 1.0 / (lmax + 1)), atol=1e-6)
+    # the gauss mode is the plain orthonormal-basis evaluation (variance
+    # (2l+1)/4pi per degree) — the two modes genuinely differ
+    tg, _ = s2_grid_matrices(lmax, res, res, "gauss")
+    assert not np.allclose(tg, to_grid)

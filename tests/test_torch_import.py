@@ -370,7 +370,7 @@ def test_wigner_basis_change_vs_jd():
     )
 
 
-def _eqv2_flax_forward(sd):
+def _eqv2_flax_forward(sd, grid_mode="gauss"):
     from adsorbdiff_tpu.models.equiformer_v2 import EquiformerV2
     from adsorbdiff_tpu.train.torch_import import eqv2_state_dict_to_params
 
@@ -385,7 +385,7 @@ def _eqv2_flax_forward(sd):
         edge_channels=k["edge_channels"], num_distance_basis=k["num_gauss"],
         cutoff=k["cutoff"], grid_resolution=k["grid_res"], max_neighbors=32,
         cell_reps=(1, 1, 0), mode="denoising", so3_denoising=True, for_denoising=True,
-        subtract_atomic_radii=False,
+        subtract_atomic_radii=False, grid_mode=grid_mode,
     )
     variables = eqv2_state_dict_to_params(
         sd, lmax=k["lmax"], mmax=k["mmax"], num_layers=k["num_layers"],
@@ -415,6 +415,29 @@ def test_eqv2_import_matches_torch_reference():
         r1, r2 = oracle(z, pos, cell, gauge_seed=5)
     sd = {k: v.float().numpy() for k, v in oracle.state_dict().items()}
     f1, f2 = _eqv2_flax_forward(sd)
+    np.testing.assert_allclose(f1, r1.numpy(), atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(f2, r2.numpy(), atol=2e-5, rtol=2e-4)
+
+
+def test_eqv2_import_matches_torch_reference_e3nn_grids():
+    """grid_mode="e3nn" parity: the oracle builds e3nn's soft-grid component
+    transform in the e3nn BASIS (via the Wigner-derived ref_sph_harm), our
+    implementation builds it in OUR basis — agreement through the weight
+    conjugation proves the basis-change cancellation for the real
+    checkpoint-import quadrature (the path real e3nn-trained .pt files run)."""
+    torch = pytest.importorskip("torch")
+    if not os.path.exists(JD_PT):
+        pytest.skip("reference checkout not available")
+    from tests.torch_ref_eqv2 import RefEquiformerV2
+
+    torch.manual_seed(0)
+    oracle = RefEquiformerV2(**{**EQV2_ORACLE_KW, "grid_mode": "e3nn"})
+    oracle.eval()
+    pos, z, tags, cell = _gemnet_oracle_system()
+    with torch.no_grad():
+        r1, r2 = oracle(z, pos, cell, gauge_seed=5)
+    sd = {k: v.float().numpy() for k, v in oracle.state_dict().items()}
+    f1, f2 = _eqv2_flax_forward(sd, grid_mode="e3nn")
     np.testing.assert_allclose(f1, r1.numpy(), atol=2e-5, rtol=2e-4)
     np.testing.assert_allclose(f2, r2.numpy(), atol=2e-5, rtol=2e-4)
 
@@ -560,6 +583,7 @@ def test_reference_model_config_translation():
     assert eqv2["lmax"] == 4 and eqv2["mmax"] == 2
     assert eqv2["cutoff"] == 12.0 and eqv2["for_denoising"] is True
     assert eqv2["radii_pm_bug_compat"] is True
+    assert eqv2["grid_mode"] == "e3nn"
     assert "use_grid_mlp" not in eqv2 and "norm_type" not in eqv2
 
     gem = reference_model_config_to_ours(dict(

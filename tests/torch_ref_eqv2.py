@@ -144,6 +144,43 @@ def gl_s2_grids(lmax, res):
     return torch.tensor(y.T, dtype=torch.float64), torch.tensor(y * w, dtype=torch.float64)
 
 
+def e3nn_s2_grids(lmax, res):
+    """e3nn ToS2Grid/FromS2Grid(normalization="component") as the reference's
+    SO3_Grid builds them (ref: so3.py:534-643) — midpoint betas, uniform
+    alphas, e3nn's y-up angles_to_xyz, Driscoll-Healy weights, component
+    per-l scale sqrt(4pi/((2l+1)(lmax+1))) — built HERE in the e3nn basis via
+    the Wigner-derived ref_sph_harm, fully independent of
+    adsorbdiff_tpu.models.so3.s2_grid_matrices (which expresses the same map
+    in our basis): parity through the import conjugation proves the
+    basis-change cancellation."""
+    betas = (np.arange(res) + 0.5) / res * np.pi
+    alphas = np.arange(res) / res * 2 * np.pi
+    ct, st = np.cos(betas), np.sin(betas)
+    # e3nn angles_to_xyz (y-up): x = sin b sin a, y = cos b, z = sin b cos a
+    pts = np.stack(
+        [
+            np.outer(st, np.sin(alphas)).ravel(),
+            np.outer(ct, np.ones_like(alphas)).ravel(),
+            np.outer(st, np.cos(alphas)).ravel(),
+        ],
+        axis=-1,
+    )
+    y = ref_sph_harm(lmax, pts).numpy().T  # [(L)^2, G]
+    # closed-form SOFT/Driscoll-Healy beta weights on the midpoint grid
+    k = np.arange(res // 2)
+    w_b = 4.0 / res * np.sin(betas) * (
+        np.sin((2 * k[None, :] + 1) * betas[:, None]) / (2 * k[None, :] + 1)
+    ).sum(1)
+    w = (np.outer(w_b, np.ones_like(alphas)) * (2 * np.pi / res)).ravel()
+    c = np.concatenate(
+        [np.full(2 * lv + 1, math.sqrt(4 * math.pi / ((2 * lv + 1) * (lmax + 1))))
+         for lv in range(lmax + 1)]
+    )
+    to = y.T * c[None, :]
+    frm = (y * w) / c[:, None]
+    return torch.tensor(to, dtype=torch.float64), torch.tensor(frm, dtype=torch.float64)
+
+
 def m_mask(lmax, mmax):
     mask = np.zeros((lmax + 1) ** 2, bool)
     for lv in range(lmax + 1):
@@ -459,6 +496,7 @@ class RefEquiformerV2(nn.Module):
         cutoff=4.5,
         max_num_elements=90,
         grid_res=10,
+        grid_mode="gauss",
         mode="denoising",
         energy_encoding=None,
         subtract_radii=False,
@@ -470,7 +508,8 @@ class RefEquiformerV2(nn.Module):
             attn_alpha_channels=attn_alpha_channels, attn_value_channels=attn_value_channels,
             ffn_hidden_channels=ffn_hidden_channels, edge_channels=edge_channels,
             num_gauss=num_gauss, cutoff=cutoff, max_num_elements=max_num_elements,
-            grid_res=grid_res, mode=mode, subtract_radii=subtract_radii,
+            grid_res=grid_res, grid_mode=grid_mode, mode=mode,
+            subtract_radii=subtract_radii,
         )
         c = sphere_channels
         self.sphere_embedding = nn.Embedding(max_num_elements, c)
@@ -523,7 +562,8 @@ class RefEquiformerV2(nn.Module):
         delta = cfg["cutoff"] / (cfg["num_gauss"] - 1)
         edge_gauss = torch.exp(-0.5 / (2.0 * delta) ** 2 * (dist[:, None] - offsets) ** 2)
 
-        to_grid, from_grid = gl_s2_grids(lmax, cfg["grid_res"])
+        mk = e3nn_s2_grids if cfg.get("grid_mode") == "e3nn" else gl_s2_grids
+        to_grid, from_grid = mk(lmax, cfg["grid_res"])
         grids = (to_grid, from_grid)
 
         dim = (lmax + 1) ** 2
