@@ -62,8 +62,10 @@ def resolve_continuous(relax_opt: Optional[dict], fmax: float, mesh=None,
     spreads per-system step counts, which is where slot refill beats the
     barrier engine (1.19–1.54x measured on TPU under budget spreads);
     fixed-budget runs (``fmax <= 0``, zero spread) keep the barrier scan,
-    which is strictly cheaper there (0.86x).  Auto also falls back to the
-    barrier engine on meshes that do not divide the slot count and when
+    which is strictly cheaper there (0.86x).  Multi-host runs keep the win:
+    each process runs its own engine over its shard of the stream.  Auto
+    falls back to the barrier engine on meshes that do not divide the
+    (per-process) slot count and when
     ``num_relaxation_batches`` caps the run (the continuous engine streams
     systems, not batches, so it cannot honor a batch cap — ref semantics:
     ocp_trainer.py:576).
@@ -95,10 +97,15 @@ def resolve_continuous(relax_opt: Optional[dict], fmax: float, mesh=None,
             "the continuous engine streams systems and cannot honor a batch "
             "cap; using the barrier engine.", num_relaxation_batches)
         return False
-    if jax.process_count() > 1:
-        return False
-    if mesh is not None and slots is not None and slots % mesh.size != 0:
-        return False
+    if mesh is not None and slots is not None:
+        size = mesh.size
+        if jax.process_count() > 1:
+            # per-process engines run on the local submesh (see
+            # ContinuousRelaxationEngine.__init__)
+            size = max(1, mesh.local_mesh.size if hasattr(mesh, "local_mesh") else
+                       sum(d.process_index == jax.process_index() for d in mesh.devices.flat))
+        if slots % size != 0:
+            return False
     return True
 
 
@@ -416,10 +423,12 @@ class ContinuousRelaxationEngine:
     relaxation sweeps; selected by ``relax_opt: {continuous: true}`` (see
     pipeline.run_pipeline / trainer.run_relaxations).  All systems in one
     ``run_systems`` call share a pad shape; :meth:`run_dataset` buckets by
-    atom count first.  ``mesh``: optional single-process
-    ``jax.sharding.Mesh`` — the slot axis dp-shards over it (slots must be a
-    multiple of the mesh size).  Multi-HOST refill would need a global slot
-    protocol — use the barrier engine there.
+    atom count first.  ``mesh``: optional ``jax.sharding.Mesh`` — the slot
+    axis dp-shards over it (slots must be a multiple of the mesh size).  On
+    multi-HOST runs the engine goes process-local: the mesh is reduced to
+    this process's devices and ``run_systems`` keeps only this process's
+    round-robin shard of the stream (refill stays host-local; callers gather
+    by sid and already tolerate shard-partial result dicts).
     """
 
     def __init__(
@@ -457,9 +466,21 @@ class ContinuousRelaxationEngine:
         self._chunk_fns: Dict[Tuple[int, int], Callable] = {}
         self._writer = _AsyncWriter()
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "ContinuousRelaxationEngine is single-process; use RelaxationEngine on multi-host meshes"
-            )
+            # Multi-host: systems are independent and slot refill is
+            # host-local, so each process runs its own engine over its
+            # round-robin shard of the stream (run_systems) on a
+            # PROCESS-LOCAL mesh — no cross-host refill protocol, no
+            # collectives (docs/MULTICHIP.md).  Ref semantics being beaten:
+            # the reference's single shared-batch L-BFGS, lbfgs_torch.py:92-143.
+            if mesh is not None:
+                import numpy as _np
+                from jax.sharding import Mesh
+
+                local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+                if len(local) != mesh.devices.size:
+                    name = mesh.axis_names[0] if len(mesh.axis_names) == 1 else "dp"
+                    mesh = Mesh(_np.asarray(local), (name,)) if local else None
+        self.mesh = mesh
         if mesh is not None and self.slots % mesh.size != 0:
             raise ValueError(f"slots ({self.slots}) must be a multiple of the mesh size ({mesh.size})")
 
@@ -552,6 +573,16 @@ class ContinuousRelaxationEngine:
         budgets = [self.steps] * len(systems) if budgets is None else [int(x) for x in budgets]
         if len(budgets) != len(systems):
             raise ValueError("budgets must align with systems")
+        if jax.process_count() > 1:
+            # deterministic round-robin shard: every process enumerates the
+            # same full list, keeps its own residue class, and returns only
+            # its own results (callers already tolerate missing sids)
+            pc, pi = jax.process_count(), jax.process_index()
+            keep_idx = range(pi, len(systems), pc)
+            systems = [systems[i] for i in keep_idx]
+            budgets = [budgets[i] for i in keep_idx]
+            if not systems:
+                return {}
         if traj_dir is not None:
             os.makedirs(traj_dir, exist_ok=True)
         if skip_existing and traj_dir is not None:

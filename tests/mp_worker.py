@@ -85,7 +85,34 @@ def main() -> None:
             for f in glob.glob(os.path.join(my_dir, "*"))
         )
         wrote_str = " wrote=" + ",".join(map(str, wrote))
-    print(f"RESULT pid={pid} loss={loss:.10f} sample_stat={stat:.6f}{wrote_str}", flush=True)
+    # multi-host continuous relaxation engine: the mesh spans both
+    # processes; the engine reduces it to this host's devices and keeps only
+    # this host's round-robin shard of the stream (continuous.py) — the
+    # parent test asserts the shards are disjoint/exhaustive and every
+    # trajectory is bit-identical to the single-process engine
+    cont_dir = os.environ.get("MP_CONT_DIR")
+    cont_str = ""
+    if cont_dir:
+        from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
+        from tests.test_continuous import KW, harmonic_by_sid, make_systems
+
+        rng2 = np.random.default_rng(5)
+        systems, targets, ks = make_systems(rng2, count=10)
+        fn = harmonic_by_sid(targets, ks, 6)
+        eng = ContinuousRelaxationEngine(
+            fn, {**KW, "chunk_steps": 8}, steps=80, slots=4, mesh=mesh
+        )
+        assert eng.mesh is not None and eng.mesh.size == 4  # process-local
+        res = eng.run_systems(
+            systems, traj_dir=os.path.join(cont_dir, f"pid{pid}"),
+            max_atoms=6, skip_existing=False,
+        )
+        eng.flush()
+        cont_str = " cont=" + ";".join(
+            f"{sid}:{float(np.sum(r.pos)):.6f}:{r.nsteps}:{int(r.converged)}"
+            for sid, r in sorted(res.items())
+        )
+    print(f"RESULT pid={pid} loss={loss:.10f} sample_stat={stat:.6f}{wrote_str}{cont_str}", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ from tests.test_mesh_scaling import _make_trainer
 from tests.test_painn import make_batch
 
 RESULT_RE = re.compile(
-    r"RESULT pid=(\d) loss=([-\d.e]+) sample_stat=([-\d.e]+)(?: wrote=([\d,]*))?"
+    r"RESULT pid=(\d) loss=([-\d.e]+) sample_stat=([-\d.e]+)(?: wrote=([\d,]*))?(?: cont=(\S*))?"
 )
 
 
@@ -70,6 +70,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         p for p in [repo, "/root/.axon_site", env.get("PYTHONPATH", "")] if p
     )
     env["MP_TRAJ_DIR"] = str(tmp_path)
+    env["MP_CONT_DIR"] = str(tmp_path / "cont")
     # workers set their own JAX_PLATFORMS/XLA_FLAGS before importing jax
     env.pop("XLA_FLAGS", None)
     procs = [
@@ -103,6 +104,41 @@ def test_two_process_mesh_matches_single_process(tmp_path):
             traj = Trajectory.load(str(tmp_path / f"pid{pid}" / str(sid)))
             assert traj.positions.shape[1:] == (20, 3)
             assert np.isfinite(traj.positions).all()
+
+    # continuous engine: per-process shards are disjoint + exhaustive, and
+    # every system's relaxation is bit-identical to the single-process engine
+    cont = {}
+    for out, p in zip(outs, procs):
+        m = RESULT_RE.search(out)
+        pid = int(m.group(1))
+        cont[pid] = {}
+        for entry in (m.group(5) or "").split(";"):
+            if entry:
+                sid, pos_sum, nsteps, conv = entry.split(":")
+                cont[pid][int(sid)] = (float(pos_sum), int(nsteps), int(conv))
+    assert cont[0] and cont[1]
+    assert set(cont[0]).isdisjoint(cont[1])
+    assert set(cont[0]) | set(cont[1]) == set(range(100, 110))
+    from adsorbdiff_tpu.relaxation.continuous import ContinuousRelaxationEngine
+    from tests.test_continuous import KW, harmonic_by_sid, make_systems
+
+    rng2 = np.random.default_rng(5)
+    systems, targets, ks = make_systems(rng2, count=10)
+    fn = harmonic_by_sid(targets, ks, 6)
+    eng = ContinuousRelaxationEngine(fn, {**KW, "chunk_steps": 8}, steps=80, slots=4)
+    ref = eng.run_systems(systems, max_atoms=6, skip_existing=False)
+    merged = {**cont[0], **cont[1]}
+    for sid, r in ref.items():
+        got = merged[sid]
+        assert got[0] == pytest.approx(float(np.sum(r.pos)), abs=2e-6)
+        assert got[1] == r.nsteps and got[2] == int(r.converged)
+    # each host wrote trajectories only for its own shard
+    for pid in (0, 1):
+        import glob as _glob
+
+        files = {int(os.path.basename(f).split(".")[0])
+                 for f in _glob.glob(str(tmp_path / "cont" / f"pid{pid}" / "*"))}
+        assert files == set(cont[pid])
 
     ref_loss, ref_stat = _single_process_reference()
     # single- vs multi-process GSPMD re-association noise only
