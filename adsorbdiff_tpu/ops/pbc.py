@@ -19,11 +19,17 @@ TPU-native replacement for the reference's dynamic-shape PBC machinery:
 
 Design notes / deliberate divergences (documented per SURVEY.md §7):
 
-- Neighbor cap semantics: the reference keeps the K nearest neighbors *plus*
-  ties within a 0.01 Å² degeneracy tolerance, which yields data-dependent edge
-  counts (ref: utils.py:809-837).  We use the strict top-K (the reference's
-  ``enforce_max_neighbors_strictly=True`` path) so shapes stay static; pass a
-  larger ``max_neighbors`` to recover the degenerate edges.
+- Neighbor cap semantics: the reference's NON-default path keeps the K
+  nearest neighbors *plus* ties within a 0.01 Å² degeneracy tolerance, which
+  yields data-dependent edge counts (ref: utils.py:809-837).  We use the
+  strict top-K — which is also what the published reference runs actually
+  use: ``enforce_max_neighbors_strictly`` defaults to True (ref:
+  models/base.py:56, gemnet_oc.py:221, equiformer_v2_oc20.py:164) and no
+  shipped config overrides it, with ties at the K-th distance broken
+  arbitrarily on both sides (ref docstring, equiformer_v2_oc20.py:112).  So
+  the production paths agree; pass a larger ``max_neighbors`` to recover the
+  degenerate tail where the cap binds (quantified on a >50-in-radius FCC
+  fixture in tests/test_pbc.py::test_neighbor_cap_binding_dense_crystal).
 - Edge symmetrization (ref: models/painn/painn_denoising.py:184-351) is not
   replicated: it exists only because the reference's asymmetric cap loses
   counter-edges.  Our builder caps per *target* atom deterministically; the
