@@ -303,6 +303,9 @@ class GemNetOC(nn.Module):
     sampling: bool = False
     use_pallas: bool = False  # fused quad dihedral-basis kernel (forward-only
     # paths: relaxation + sampling; training keeps the XLA formulation)
+    fused_quad: bool = False  # whole quadruplet-chain pallas kernel (dihedral
+    # basis + c==d mask + d2 + outer in one VMEM pass,
+    # ops/pallas_kernels.py::gemnet_quad_chain); custom VJP recomputes in XLA
     derive_subgraphs: bool = True  # aeaint/qint as K-prefix views of the main
     # table when cutoffs allow (base.py::derive_subgraph); False = 3 builds (A/B)
     compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
@@ -530,16 +533,40 @@ class GemNetOC(nn.Module):
             # == off_main[a,k1] (all chains measured to the same target image).
             q_src_rows = _gather_rows(nl.src, nl_q.src)  # [B,N,Kq,K2]
             q_off_rows = _gather_rows(nl.cell_offsets, nl_q.src)  # [B,N,Kq,K2,3]
-            cd_match = (
-                (q_src_rows[:, :, None, :, :] == nl.src[:, :, :, None, None])
-                & jnp.all(
-                    q_off_rows[:, :, None, :, :, :] + nl_q.cell_offsets[:, :, None, :, None, :]
-                    - nl.cell_offsets[:, :, :, None, None, :]
-                    == 0,
-                    axis=-1,
+            quad_keys = None
+            if self.fused_quad:
+                # the c==d condition compares (periodic source atom, summed
+                # offset) tuples — fold each into ONE int key so the fused
+                # kernel evaluates the exclusion as a broadcast compare.
+                # Offsets are bounded by cell_reps (<= 7 in magnitude), so
+                # base-16 digits encode exactly.
+                def _img_key(src, off):
+                    k = src
+                    for ci in range(3):
+                        k = k * 16 + (off[..., ci] + 8)
+                    return k.astype(jnp.int32)
+
+                quad_keys = (
+                    _img_key(nl.src, nl.cell_offsets),  # [B,N,K1]
+                    _img_key(
+                        q_src_rows,
+                        q_off_rows + nl_q.cell_offsets[:, :, :, None, :],
+                    ),  # [B,N,Kq,K2]
                 )
-            )  # [B,N,K1,Kq,K2] bool
-            if self.use_pallas:
+            cd_match = None
+            if not self.fused_quad:
+                cd_match = (
+                    (q_src_rows[:, :, None, :, :] == nl.src[:, :, :, None, None])
+                    & jnp.all(
+                        q_off_rows[:, :, None, :, :, :] + nl_q.cell_offsets[:, :, None, :, None, :]
+                        - nl.cell_offsets[:, :, :, None, None, :]
+                        == 0,
+                        axis=-1,
+                    )
+                )  # [B,N,K1,Kq,K2] bool
+            if self.fused_quad:
+                y_dih_pl = y_dih_full = None
+            elif self.use_pallas:
                 # fused VMEM kernel: cross-normalize -> cos -> Legendre ->
                 # c==d mask; the [B,N,K1,Kq,K2,{3,1,S}] broadcast transients
                 # never reach HBM (forward-only paths)
@@ -562,7 +589,18 @@ class GemNetOC(nn.Module):
                 )  # [B,N,K1,Kq,K2,S], c == d quads excluded at the basis
             # fold m1 into the (cab x radW) factor, computed once for all blocks
             ya_m1 = jnp.where(quad_m1[..., None], y_cab, 0.0)
-            quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
+            if self.fused_quad:
+                # pad the small einsum OPERANDS to the kernel's u granularity
+                # so quad_p comes out pre-padded (profiled: a post-hoc jnp.pad
+                # of the 70 MB tensor cost 1.3 ms/step as a pad_convert copy)
+                u_pad = (-ya_m1.shape[2]) % 32
+                ya_p = jnp.pad(ya_m1, ((0, 0), (0, 0), (0, u_pad), (0, 0), (0, 0)))
+                radw_p = jnp.pad(radw, ((0, 0), (0, 0), (0, u_pad)) + ((0, 0),) * 3)
+                quad_p = jnp.einsum(
+                    "bnuqi,bnuijf->bnujqf", cdt_cast(ya_p), cdt_cast(radw_p)
+                )  # [B,N,u32,S,Kq,F] — gemnet_quad_chain's (u, level, slot) order
+            else:
+                quad_p = jnp.einsum("bnuqi,bnuijf->bnuqjf", cdt_cast(ya_m1), radw)  # [B,N,K1,Kq,S,F]
 
         # a2e triplets (ref: get_mixed_triplets(a2ee2a, main)): in-edge b->a
         # (a2ee2a) and out-edge c->a (main) SHARE THE TARGET a — both are
@@ -724,11 +762,20 @@ class GemNetOC(nn.Module):
                 # against the m1-folded (cab x radW) factor — no [K1,Kq,K2,F]
                 # tensor exists
                 xm = jnp.where(quad_m2[..., None], x_db_t, 0.0)  # [B,N,Kq,K2,eq]
-                if self.use_pallas:
+                if self.fused_quad:
+                    from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_chain
+
+                    outer = gemnet_quad_chain(
+                        n1, n2, quad_keys[0], quad_keys[1], xm,
+                        quad_p.astype(xm.dtype), self.num_spherical,
+                        out_dtype=compute_dtype() or jnp.float32,
+                    )
+                elif self.use_pallas:
                     d2 = jnp.einsum("bnjquk,bnqke->bnuqje", y_dih_pl, xm)
+                    outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 else:
                     d2 = jnp.einsum("bnuqkj,bnqke->bnuqje", cdt_cast(y_dih_full), xm)
-                outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
+                    outer = jnp.einsum("bnuqjf,bnuqje->bnufe", quad_p.astype(d2.dtype), d2)
                 x_q = EfficientBilinear(self.emb_size_quad_in, self.emb_size_sbf, self.emb_size_quad_out,
                                         name=f"{name}_qint_bilinear")(outer=outer)
                 x_q = ScaleFactor(name=f"{name}_qint_scale_sbf")(x_q)

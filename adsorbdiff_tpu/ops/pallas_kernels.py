@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
@@ -1719,3 +1720,216 @@ def gemnet_quad_basis(n1, n2, keep, num_spherical: int, out_dtype=jnp.float32,
         a, bt, keep_r, num_spherical, out_dtype=out_dtype, interpret=interpret
     )
     return y.reshape(b, n, num_spherical, kq, k1, k2)
+
+
+# ---------------------------------------------------------------------------
+# GemNet-OC fused quadruplet chain: dihedral basis -> d2 -> outer (one kernel)
+# ---------------------------------------------------------------------------
+def _quad_chain_kernel(
+    a_ref,      # [cells, UQ, QC]  block-diag normalized n1 (rows (u,q))
+    bt_ref,     # [cells, QC, QK]  block-diag normalized n2^T (cols (q,k))
+    k1_ref,     # [cells, UQ, 1]   i32 main-edge keys tiled over q (-1 = pad u)
+    k2_ref,     # [cells, 1, QK]   i32 in-edge chain keys (-2 = pad k)
+    xm_ref,     # [cells, QK, E]   masked in-edge embeddings, k-padded rows 0
+    qp_ref,     # [cells, U32, S, Q, F]  m1-folded (cab x radW) factor
+    o_ref,      # [cells, U, F, E] (unpadded u)
+    dscr,       # VMEM [S, UQ, E] f32
+    *, num_spherical: int, q_dim: int, u32: int, k32: int, cells: int,
+    u_out: int,
+):
+    """outer[u, f, e] = sum_{q,j,k} c_j P_j(cos_dih[u,q,k]) keep[u,q,k]
+    xm[q,k,e] qp[q,u,j,f] — GemNet-OC's quadruplet interaction consumer
+    (ref math: QuadrupletInteraction + EfficientInteractionBilinear,
+    reference layers/interaction_block.py:19-758, layers/efficient.py:15-270)
+    with the c==d exclusion (keep) evaluated in-kernel from compact integer
+    edge keys.  The XLA formulation materializes y_dih [B,N,U,Q,K,S] (65 MB
+    bf16 at published size) plus d2 and its relayout copy (69 MB each) in HBM
+    per interaction block; here nothing between the inputs and the [U,F,E]
+    outer product leaves VMEM.
+
+    Layout strategy (Mosaic-safe: no cross-lane ops, only leading-index or
+    sublane-aligned stores): the per-q cos tables are ONE block-diagonal
+    [UQ, QC] @ [QC, QK] MXU dot with rows U-MAJOR (off-blocks killed by the
+    in-kernel row-q == col-q mask); each Legendre level is ONE
+    [UQ, QK] @ [QK, E] dot against the q-stacked xm (the block-diagonal
+    basis rows select the right q automatically) stored level-major; the
+    u-major row order makes the level-major scratch a pure MAJOR-dim
+    reshuffle away from u-batch order, so the final contraction is one
+    lane-preserving transpose + ONE u-batched [S*Q, F]^T [S*Q, E]
+    dot_general (batch dims in matching positions — the form Mosaic
+    supports).  (v1: q-major rows + per-q mixed-position batched dots =
+    256 tiny matmuls + 8 transposes per cell, 35.5 ms/step; v2: per-u
+    band copies + 30 small dots, 33.8 ms/step; baseline 36.6.)
+    """
+    s = num_spherical
+    f32 = jnp.float32
+    dt = xm_ref.dtype
+    q = q_dim
+    uq = u32 * q
+    qk = q_dim * k32
+    for c in range(cells):
+        cos = jnp.dot(a_ref[c], bt_ref[c], preferred_element_type=f32)
+        cos = jnp.clip(cos, -1.0, 1.0)
+        # keep = ~(c == d) & valid-u & same-q block; rows are (u, q)
+        k1 = k1_ref[c]  # [UQ, 1]
+        k2 = k2_ref[c]  # [1, QK]
+        rq = jax.lax.broadcasted_iota(jnp.int32, (uq, qk), 0) % q
+        cq = jax.lax.broadcasted_iota(jnp.int32, (uq, qk), 1) // k32
+        keep = ((k1 != k2) & (k1 >= 0) & (rq == cq)).astype(f32)
+        xm = xm_ref[c]
+        pm1 = jnp.ones_like(cos)
+        p = cos
+        for l in range(s):
+            if l == 1:
+                basis = cos
+            elif l > 1:
+                basis = ((2 * l - 1) * cos * p - (l - 1) * pm1) / l
+                pm1, p = p, basis
+            else:
+                basis = pm1
+            cl = math.sqrt((2 * l + 1) / (4 * math.pi))
+            bl = (cl * basis * keep).astype(dt)
+            dscr[l] = jnp.dot(bl, xm, preferred_element_type=f32)
+        # [S, (u,q), E] -> [U32, S, Q, E]: major-dim reshuffle, lanes (E)
+        # preserved, then ONE u-batched dot against the host-ordered qp
+        d_all = jnp.transpose(
+            dscr[:].reshape(s, u32, q, dscr.shape[-1]), (1, 0, 2, 3)
+        ).reshape(u32, s * q, dscr.shape[-1]).astype(dt)
+        qp_all = qp_ref[c].reshape(u32, s * q, -1)  # [U32, (j,q), F]
+        o_ref[c] = jax.lax.dot_general(
+            qp_all, d_all,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )[:u_out].astype(o_ref.dtype)  # pad-u rows never leave VMEM
+
+
+def _quad_chain_ref(n1, n2, key1, key2, xm, qp, num_spherical: int):
+    """XLA reference of the fused chain (the model's unfused formulation,
+    models/gemnet_oc.py:553-731, with the mask from keys): used for the
+    interpret-parity test and as the custom-VJP backward recompute."""
+    eps = 1e-9
+    n1h = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), eps)
+    n2h = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), eps)
+    cos = jnp.clip(jnp.einsum("bnuqc,bnqkc->bnuqk", n1h, n2h), -1.0, 1.0)
+    keep = (key1[:, :, :, None, None] != key2[:, :, None, :, :]) & (
+        key1[:, :, :, None, None] >= 0
+    )
+    s = num_spherical
+    ps = [jnp.ones_like(cos), cos]
+    for l in range(2, s):
+        ps.append(((2 * l - 1) * cos * ps[l - 1] - (l - 1) * ps[l - 2]) / l)
+    y = jnp.stack(
+        [math.sqrt((2 * l + 1) / (4 * math.pi)) * ps[l] for l in range(s)], axis=-1
+    )
+    y = jnp.where(keep[..., None], y, 0.0).astype(xm.dtype)
+    d2 = jnp.einsum("bnuqks,bnqke->bnuqse", y, xm)
+    return jnp.einsum("bnusqf,bnuqse->bnufe", qp.astype(d2.dtype), d2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _quad_chain_vjp(n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret):
+    return _quad_chain_impl(n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret)
+
+
+def _quad_chain_fwd(n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret):
+    out = _quad_chain_impl(n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret)
+    return out, (n1, n2, key1, key2, xm, qp)
+
+
+def _quad_chain_bwd(num_spherical, out_dtype, interpret, res, g):
+    """Grads w.r.t. xm / qp via XLA recompute (zero cotangents for the
+    geometry factors n1/n2 — fine for parameter training with score/energy
+    losses, same contract as painn_message_fused)."""
+    n1, n2, key1, key2, xm, qp = res
+    _, pull = jax.vjp(
+        lambda xm_, qp_: _quad_chain_ref(n1, n2, key1, key2, xm_, qp_, num_spherical),
+        xm, qp,
+    )
+    dxm, dqp = pull(g.astype(xm.dtype))
+    zeros = lambda a: jnp.zeros_like(a)
+    return zeros(n1), zeros(n2), None, None, dxm, dqp
+
+
+_quad_chain_vjp.defvjp(_quad_chain_fwd, _quad_chain_bwd)
+
+
+def _quad_chain_impl(n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret):
+    b, n, u, q, _ = n1.shape
+    k2 = n2.shape[3]
+    e = xm.shape[-1]
+    f = qp.shape[-1]
+    assert qp.shape[3:5] == (num_spherical, q), qp.shape
+    s = num_spherical
+    u32 = _round_up(u, 32)
+    k32 = _round_up(k2, 32)
+    bn = b * n
+    eps = 1e-9
+    n1h = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), eps)
+    n2h = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), eps)
+    n1h = jnp.pad(n1h, ((0, 0), (0, 0), (0, u32 - u), (0, 0), (0, 0)))
+    n2h = jnp.pad(n2h, ((0, 0), (0, 0), (0, 0), (0, k32 - k2), (0, 0)))
+    eye = jnp.eye(q, dtype=n1.dtype)
+    # rows U-MAJOR: row (u, q) of `a` is n1h[u, q] placed in q's column block
+    a = jnp.einsum("bnuqc,qp->bnuqpc", n1h, eye).reshape(bn, u32 * q, q * 3)
+    bt = jnp.einsum("bnqkc,qp->bnqcpk", n2h, eye).reshape(bn, q * 3, q * k32)
+    k1p = jnp.pad(key1, ((0, 0), (0, 0), (0, u32 - u)), constant_values=-1)
+    k1t = jnp.broadcast_to(k1p[..., None], (b, n, u32, q)).reshape(bn, u32 * q, 1)
+    k2p = jnp.pad(key2, ((0, 0), (0, 0), (0, 0), (0, k32 - k2)), constant_values=-2)
+    k2t = k2p.reshape(bn, 1, q * k32)
+    xmr = jnp.pad(xm, ((0, 0), (0, 0), (0, 0), (0, k32 - k2), (0, 0))).reshape(
+        bn, q * k32, e
+    )
+    # per-u [(j, q), F] blocks for the final batched dot; callers may pass
+    # qp pre-padded to u32 (the model pads the tiny einsum OPERANDS instead,
+    # so no 70 MB pad copy materializes here)
+    qpp = jnp.pad(qp, ((0, 0), (0, 0), (0, u32 - qp.shape[2]), (0, 0), (0, 0), (0, 0))).reshape(
+        bn, u32, s, q, f
+    )
+    cells = int(os.environ.get("ADSORBDIFF_QUAD_CELLS", "1"))
+    while bn % cells:
+        cells //= 2
+    out = pl.pallas_call(
+        functools.partial(
+            _quad_chain_kernel,
+            num_spherical=s, q_dim=q, u32=u32, k32=k32, cells=cells,
+            u_out=u,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bn, u, f, e), out_dtype),
+        grid=(bn // cells,),
+        in_specs=[
+            pl.BlockSpec((cells, u32 * q, q * 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, q * 3, q * k32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, u32 * q, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, 1, q * k32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, q * k32, e), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cells, u32, s, q, f), lambda i: (i, 0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((cells, u, f, e), lambda i: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((s, u32 * q, e), jnp.float32)],
+        interpret=interpret,
+    )(a, bt, k1t, k2t, xmr, qpp)
+    return out.reshape(b, n, u, f, e)
+
+
+@_dp_sharded(6)
+def gemnet_quad_chain(
+    n1, n2, key1, key2, xm, qp, num_spherical: int,
+    out_dtype=jnp.float32, interpret=None,
+):
+    """Fused GemNet-OC quadruplet consumer: `outer` of the qint bilinear.
+
+    n1: [B,N,U,Q,3] cross(ab, a-edges); n2: [B,N,Q,K2,3] cross(ab, b-edges);
+    key1: [B,N,U] i32 periodic-image keys of the main edges (-1 never
+    matches); key2: [B,N,Q,K2] i32 keys of the in-edge chains (the c==d quad
+    exclusion is key1 == key2, ref get_quadruplets utils.py); xm:
+    [B,N,Q,K2,E] masked in-edge embeddings; qp: [B,N,U,S,Q,F] (u-major,
+    then basis level, then the qint slot — the kernel's bscr row order).
+    Returns outer [B,N,U,F,E] for EfficientBilinear(outer=...).
+
+    Custom VJP: XLA-recompute grads for xm/qp, zero cotangents for n1/n2.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _quad_chain_vjp(
+        n1, n2, key1, key2, xm, qp, num_spherical, out_dtype, interpret
+    )

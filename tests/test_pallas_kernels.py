@@ -550,3 +550,55 @@ def test_eqv2_kernels_large_geometry():
         for nm, fn in origs.items():
             setattr(pk, nm, fn)
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-5, rtol=1e-4)
+
+
+def test_gemnet_quad_chain_kernel_parity():
+    """Fused quadruplet chain (basis + c==d keys + d2 + outer in one kernel)
+    vs the XLA reference einsum chain, forward and xm/qp grads."""
+    from adsorbdiff_tpu.ops.pallas_kernels import _quad_chain_ref, gemnet_quad_chain
+
+    rng = np.random.default_rng(0)
+    B, N, U, Q, K2, S, E, F = 1, 4, 30, 8, 30, 7, 16, 16
+    n1 = jnp.asarray(rng.normal(size=(B, N, U, Q, 3)), jnp.float32)
+    n2 = jnp.asarray(rng.normal(size=(B, N, Q, K2, 3)), jnp.float32)
+    key1 = np.asarray(rng.integers(0, 50, size=(B, N, U)), np.int32)
+    key1[..., -3:] = -1  # invalid main edges never match
+    key1 = jnp.asarray(key1)
+    key2 = jnp.asarray(rng.integers(0, 50, size=(B, N, Q, K2)), np.int32)
+    xm = jnp.asarray(rng.normal(size=(B, N, Q, K2, E)), jnp.float32)
+    qp = jnp.asarray(rng.normal(size=(B, N, U, S, Q, F)), jnp.float32)
+
+    import functools as ft
+
+    got = gemnet_quad_chain(n1, n2, key1, key2, xm, qp, S, interpret=True)
+    ref = _quad_chain_ref(n1, n2, key1, key2, xm, qp, S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def loss(fn, xm_, qp_):
+        return jnp.sum(fn(n1, n2, key1, key2, xm_, qp_, S) ** 2)
+
+    g = jax.grad(lambda a, b: loss(ft.partial(gemnet_quad_chain, interpret=True), a, b), argnums=(0, 1))(xm, qp)
+    r = jax.grad(lambda a, b: loss(_quad_chain_ref, a, b), argnums=(0, 1))(xm, qp)
+    for gi, ri in zip(g, r):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=5e-3, rtol=1e-3)
+
+
+def test_gemnet_fused_quad_model_parity():
+    """GemNetOC(fused_quad=True) == the XLA formulation on a real batch
+    (same params): the kernel's key-based c==d exclusion, padding, and
+    layouts reproduce the model chain exactly."""
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from tests.test_painn import make_batch
+
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+    kw = dict(mode="s2ef", cell_reps=(1, 1, 0))
+    m0 = GemNetOC(**kw)
+    mf = GemNetOC(**kw, fused_quad=True)
+    v = m0.init(jax.random.PRNGKey(0), batch)
+    o0 = m0.apply(v, batch)
+    of = mf.apply(v, batch)
+    np.testing.assert_allclose(
+        np.asarray(of["energy"]), np.asarray(o0["energy"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(of["forces"]), np.asarray(o0["forces"]), atol=2e-5)
