@@ -37,10 +37,18 @@ def save_checkpoint(run_dir: str, name: str, state: Any, config: Optional[dict] 
 
 
 def load_checkpoint(path: str, target: Any) -> Tuple[Any, Optional[dict]]:
-    """Restore a pytree shaped like ``target``; returns (state, config|None)."""
+    """Restore a pytree shaped like ``target``; returns (state, config|None).
+
+    ``target=None`` returns the raw saved tree (nested dicts) — used by
+    callers that need to merge a structurally-different checkpoint (e.g. a
+    converted torch import whose opt_state does not match the trainer's
+    optimizer chain; see BaseTrainer.load_checkpoint)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(path, target=jax.device_get(target))
+    if target is None:
+        state = ckptr.restore(path)
+    else:
+        state = ckptr.restore(path, target=jax.device_get(target))
     config = None
     if os.path.exists(path + ".config.yaml"):
         with open(path + ".config.yaml") as f:

@@ -315,7 +315,30 @@ class BaseTrainer:
     def load_checkpoint(self, path: str) -> None:
         if self.state is None:
             raise RuntimeError("init_state(example_batch) before load_checkpoint")
-        self.state, _ = ckpt.load_checkpoint(path, self.state)
+        try:
+            self.state, _ = ckpt.load_checkpoint(path, self.state)
+        except ValueError as e:
+            if "tree structures do not match" not in str(e):
+                raise
+            # imported / converted checkpoints (train/torch_import.py) carry
+            # a plain-adamw opt_state that will not line up with this
+            # trainer's optimizer chain — restore the model state (params,
+            # EMA, scale factors, step) and keep a fresh optimizer, which is
+            # also the reference's behavior when fine-tuning from a
+            # published checkpoint (base_trainer.py load_checkpoint drops
+            # the optimizer on mismatch)
+            logging.warning(
+                "checkpoint %s: optimizer-state structure mismatch "
+                "(imported checkpoint?) — restoring model state with a "
+                "fresh optimizer", path)
+            raw, _ = ckpt.load_checkpoint(path, None)  # raw saved tree
+            asarr = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+            self.state = jax.device_get(self.state).replace(
+                params=asarr(raw["params"]),
+                ema_params=asarr(raw["ema_params"]),
+                scale_factors=asarr(raw.get("scale_factors", {})),
+                step=jnp.asarray(raw["step"]),
+            )
         if self.fsdp and self.state_shardings is not None:
             # restore lands host-side; re-pin to the ZeRO shards
             self.state = meshlib.shard_tree(self.state, self.state_shardings)

@@ -28,7 +28,15 @@ def main() -> None:
         "--override", action="append", default=[],
         help="model-config override key=value (repeatable)",
     )
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (conversion needs no accelerator; avoids "
+                         "queueing behind busy TPU compiles)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from adsorbdiff_tpu.train.torch_import import convert_torch_checkpoint
 
