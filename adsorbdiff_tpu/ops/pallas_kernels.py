@@ -1806,7 +1806,14 @@ def _quad_chain_kernel(
 def _quad_chain_ref(n1, n2, key1, key2, xm, qp, num_spherical: int):
     """XLA reference of the fused chain (the model's unfused formulation,
     models/gemnet_oc.py:553-731, with the mask from keys): used for the
-    interpret-parity test and as the custom-VJP backward recompute."""
+    interpret-parity test and as the custom-VJP backward recompute.
+
+    Callers may pass qp pre-padded to the kernel's u granularity (the model
+    pads the small einsum operands, gemnet_oc.py:593-601); slice to n1's U
+    here so the backward recompute sees matched extents — under jax.vjp the
+    slice transposes to a zero-pad, so dqp keeps the caller's padded shape.
+    """
+    qp = qp[:, :, : n1.shape[2]]
     eps = 1e-9
     n1h = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), eps)
     n2h = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), eps)

@@ -582,6 +582,18 @@ def test_gemnet_quad_chain_kernel_parity():
     for gi, ri in zip(g, r):
         np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=5e-3, rtol=1e-3)
 
+    # pre-padded qp (the model pads the small einsum operands to u32,
+    # gemnet_oc.py:593-601): the backward recompute must slice qp to n1's U
+    # — regression for the u-mismatch ValueError hit in training
+    u32 = ((U + 31) // 32) * 32
+    qp_pad = jnp.pad(qp, ((0, 0), (0, 0), (0, u32 - U), (0, 0), (0, 0), (0, 0)))
+    got_p = gemnet_quad_chain(n1, n2, key1, key2, xm, qp_pad, S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref), atol=2e-4)
+    gp = jax.grad(lambda a, b: loss(ft.partial(gemnet_quad_chain, interpret=True), a, b), argnums=(0, 1))(xm, qp_pad)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(r[0]), atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp[1][:, :, :U]), np.asarray(r[1]), atol=5e-3, rtol=1e-3)
+    assert not np.asarray(gp[1][:, :, U:]).any()  # pad rows get zero grads
+
 
 def test_gemnet_fused_quad_model_parity():
     """GemNetOC(fused_quad=True) == the XLA formulation on a real batch
@@ -602,3 +614,16 @@ def test_gemnet_fused_quad_model_parity():
         np.asarray(of["energy"]), np.asarray(o0["energy"]), atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(of["forces"]), np.asarray(o0["forces"]), atol=2e-5)
+
+    # parameter grads through the fused kernel (training path: the crash
+    # regressed here was the custom-VJP recompute on the model's u32-padded
+    # qp when K1 is not a multiple of 32)
+    def eloss(m, v_):
+        return jnp.sum(m.apply(v_, batch)["energy"] ** 2)
+
+    g0 = jax.grad(lambda v_: eloss(m0, v_))(v)
+    gf = jax.grad(lambda v_: eloss(mf, v_))(v)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flatf = jax.tree_util.tree_leaves(gf)
+    for a, b in zip(flat0, flatf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4, rtol=2e-3)
