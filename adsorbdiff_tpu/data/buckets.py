@@ -59,6 +59,8 @@ class BucketedBatcher:
         mode: str = "atoms",
         sizes: Optional[np.ndarray] = None,
         num_buckets: int = 4,
+        atom_budget: Optional[int] = None,
+        multiple_of: int = 1,
     ) -> None:
         if mode not in ("atoms", "neighbors"):
             raise ValueError(f"mode must be 'atoms' or 'neighbors', got {mode!r}")
@@ -69,6 +71,20 @@ class BucketedBatcher:
         self.drop_last = drop_last
         self.with_forces = with_forces
         self.mode = mode
+        # atom-balanced batching: per-bucket batch size ~ atom_budget / pad,
+        # so every batch carries a similar padded-atom count (device work is
+        # ~linear in B * n_pad on the dense formulation) — the heterogeneity
+        # answer to the reference's load-balanced sampler
+        # (ref: datasets/data_parallel.py:58-200).  batch_size becomes the
+        # CAP (the tuned size at the smallest bucket).  multiple_of keeps
+        # every batch dp-shardable (mesh size divides B; shard_batch
+        # device_puts on a NamedSharding, parallel/mesh.py:49).
+        self.atom_budget = int(atom_budget) if atom_budget else None
+        self.multiple_of = max(1, int(multiple_of))
+        if self.batch_size % self.multiple_of:
+            raise ValueError(
+                f"batch_size {batch_size} not a multiple of {multiple_of}"
+            )
         natoms = np.asarray(dataset.natoms_array())
         if mode == "neighbors":
             if sizes is None:
@@ -114,14 +130,22 @@ class BucketedBatcher:
                 continue
             if self.shuffle:
                 rng.shuffle(idx)
-            for lo in range(0, len(idx), self.batch_size):
-                chunk = idx[lo : lo + self.batch_size]
-                if self.drop_last and len(chunk) < self.batch_size:
+            bs = self._bucket_batch_size(edge)
+            for lo in range(0, len(idx), bs):
+                chunk = idx[lo : lo + bs]
+                if self.drop_last and len(chunk) < bs:
                     continue
                 plan.append((edge, chunk))
         if self.shuffle:
             rng.shuffle(plan)  # interleave buckets
         return plan
+
+    def _bucket_batch_size(self, edge: int) -> int:
+        if self.atom_budget:
+            bs = min(self.batch_size, self.atom_budget // max(edge, 1))
+            bs = (bs // self.multiple_of) * self.multiple_of
+            return max(self.multiple_of, bs)
+        return self.batch_size
 
     def __len__(self) -> int:
         return len(self._plan())
@@ -134,7 +158,7 @@ class BucketedBatcher:
             # same contract as the reference's DistributedSampler padding
             # (ref: trainers/base_trainer.py:869-878).
             idx = [int(i) for i in chunk]
-            while len(idx) < self.batch_size:
+            while len(idx) < self._bucket_batch_size(edge):
                 idx.append(idx[-1])
             if native:
                 yield self.dataset.collate_indices(idx, max_atoms=edge, with_forces=self.with_forces)

@@ -65,6 +65,7 @@ def run_pipeline(
     relaxation_fmax: float = 0.01,
     dft_targets: Optional[Dict[str, float]] = None,
     batch_size: int = 8,
+    atom_budget: Optional[int] = None,
 ) -> Optional[float]:
     """Per-seed: diffusion sampling over the relax dataset -> shard conversion
     -> MLFF L-BFGS -> (optional) anomaly-filtered min-energy success rate.
@@ -124,7 +125,13 @@ def run_pipeline(
 
         # stage 1: diffusion sampling (ref: run.py com_sde block)
         dataset = ShardDataset(relax_dataset_cfg)
-        batcher = BucketedBatcher(dataset, batch_size, shuffle=False, seed=seed)
+        # atom_budget: atom-balanced per-bucket batch sizes (heterogeneous
+        # natoms; see data/buckets.py) — batch_size becomes the cap
+        dmesh = getattr(diffusion_trainer, "mesh", None)
+        batcher = BucketedBatcher(
+            dataset, batch_size, shuffle=False, seed=seed, atom_budget=atom_budget,
+            multiple_of=int(dmesh.devices.size) if dmesh is not None else 1,
+        )
         key = jax.random.PRNGKey(seed)
         for i, batch in enumerate(batcher):
             engine.run(batch, jax.random.fold_in(key, i), traj_dir=sample_dir)
@@ -140,7 +147,11 @@ def run_pipeline(
         if continuous:
             rengine.run_dataset(relax_ds, traj_dir=relax_dir)
         else:
-            relax_batcher = BucketedBatcher(relax_ds, batch_size, shuffle=False, seed=seed)
+            rmesh = getattr(relax_trainer, "mesh", None)
+            relax_batcher = BucketedBatcher(
+                relax_ds, batch_size, shuffle=False, seed=seed, atom_budget=atom_budget,
+                multiple_of=int(rmesh.devices.size) if rmesh is not None else 1,
+            )
             for batch in relax_batcher:
                 rengine.run(batch, traj_dir=relax_dir)
         rengine.flush()  # the eval below reads the trajectory dirs

@@ -202,22 +202,32 @@ class BaseTrainer:
         bs = int(self.optim_cfg.get("batch_size", 4))
         eval_bs = int(self.optim_cfg.get("eval_batch_size", bs))
         with_forces = self.name == "s2ef"
+        # optim.atom_budget: atom-balanced per-bucket batch sizes (batch_size
+        # becomes the cap); batches stay divisible by the dp mesh
+        budget_kw = dict(
+            atom_budget=self.optim_cfg.get("atom_budget"),
+            multiple_of=int(self.mesh.devices.size) if self.mesh is not None else 1,
+        )
         if ds_cfg:
             entries = ds_cfg if isinstance(ds_cfg, list) else [ds_cfg]
             if entries[0].get("src"):
                 self.train_dataset = ShardDataset(entries[0])
                 self.train_batcher = BucketedBatcher(
-                    self.train_dataset, bs, seed=self.seed, shuffle=True, with_forces=with_forces
+                    self.train_dataset, bs, seed=self.seed, shuffle=True,
+                    with_forces=with_forces, **budget_kw
                 )
             if len(entries) > 1 and entries[1].get("src"):
                 self.val_dataset = ShardDataset(entries[1])
                 self.val_batcher = BucketedBatcher(
-                    self.val_dataset, eval_bs, seed=self.seed, shuffle=False, with_forces=with_forces
+                    self.val_dataset, eval_bs, seed=self.seed, shuffle=False,
+                    with_forces=with_forces, **budget_kw
                 )
         relax_cfg = self.task_cfg.get("relax_dataset")
         if relax_cfg and relax_cfg.get("src"):
             self.relax_dataset = ShardDataset(relax_cfg)
-            self.relax_batcher = BucketedBatcher(self.relax_dataset, eval_bs, seed=self.seed, shuffle=False)
+            self.relax_batcher = BucketedBatcher(
+                self.relax_dataset, eval_bs, seed=self.seed, shuffle=False, **budget_kw
+            )
 
     def _normalizers(self, config) -> None:
         """Config-declared target normalizers (ref: base_trainer load_datasets

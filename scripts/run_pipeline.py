@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--nsites", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--atom-budget", type=int, default=None,
+                    help="atom-balanced batching: per-bucket batch size ~ budget/pad "
+                         "(batch-size becomes the cap); recommended ~batch_size*80 "
+                         "for heterogeneous natoms")
     ap.add_argument("--relaxation-steps", type=int, default=300)
     ap.add_argument("--dft-targets", default=None, help="pkl of {sid: [(cfg, E), ...]}")
     args = ap.parse_args()
@@ -68,6 +72,7 @@ def main() -> None:
         relaxation_steps=args.relaxation_steps,
         dft_targets=dft_targets,
         batch_size=args.batch_size,
+        atom_budget=args.atom_budget,
     )
     if rate is not None:
         logging.info(f"Success rate: {rate * 100:.1f}%")

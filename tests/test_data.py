@@ -116,3 +116,39 @@ def test_bucketed_batcher_neighbor_mode(tmp_path, rng):
         BucketedBatcher(ds, batch_size=4, mode="neighbors")  # sizes required
     with pytest.raises(ValueError):
         BucketedBatcher(ds, batch_size=4, mode="edges")
+
+
+def test_bucketed_batcher_atom_budget(tmp_path, rng):
+    """atom_budget equalizes padded-atom work per batch: large buckets get
+    smaller batch sizes (B ~ budget/pad, capped by batch_size), batches stay
+    multiples of the dp mesh size, and every system still appears."""
+    systems = [rand_system(rng, int(n), sid=i)
+               for i, n in enumerate(np.concatenate([rng.integers(8, 24, 20),
+                                                     rng.integers(120, 200, 20)]))]
+    write_shard(str(tmp_path / "d"), systems)
+    ds = ShardDataset({"src": str(tmp_path / "d")})
+
+    batcher = BucketedBatcher(ds, batch_size=16, seed=0, atom_budget=16 * 24,
+                              multiple_of=2)
+    seen = set()
+    padded_atoms = []
+    for batch in batcher:
+        b, n, _ = batch.pos.shape
+        assert b % 2 == 0  # dp-shardable
+        assert b == batcher._bucket_batch_size(n)
+        assert b <= 16
+        if n > 24:
+            assert b < 16  # big buckets got shrunk
+        padded_atoms.append(b * n)
+        seen.update(int(s) for s in np.asarray(batch.sid))
+    assert seen == set(range(40))
+    # per-batch padded-atom totals are balanced within ~2x (vs ~8x without)
+    assert max(padded_atoms) <= 2.5 * min(padded_atoms)
+
+    # without budget the same data spreads ~8x in per-batch work
+    flat = BucketedBatcher(ds, batch_size=16, seed=0)
+    work = [batch.pos.shape[0] * batch.pos.shape[1] for batch in flat]
+    assert max(work) > 4 * min(work)
+
+    with pytest.raises(ValueError):
+        BucketedBatcher(ds, batch_size=5, multiple_of=2)  # cap must divide
