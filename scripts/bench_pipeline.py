@@ -9,6 +9,9 @@ proves dp sharding preserves semantics).
 
     BENCH_SAMPLER=painn BENCH_B=16 python scripts/bench_pipeline.py
     BENCH_SAMPLER=eqv2  BENCH_B=8  python scripts/bench_pipeline.py
+    BENCH_HETERO=64 python scripts/bench_pipeline.py   # OC20-like natoms
+        # spread (~30-230) through the production bucket policy; reports
+        # padding efficiency + systems/h vs the homogeneous number
 
 Reference anchor (docs/PERF.md "Anchoring the A100 baseline"): the CUDA
 reference's estimated A100 band is 42-62 ms/system for sampling and
@@ -50,15 +53,66 @@ def main() -> None:
     relax_b = int(os.environ.get("BENCH_RELAX_B", "8"))
     relax_steps = int(os.environ.get("BENCH_RELAX_STEPS", "300"))
     n_batches = int(os.environ.get("BENCH_NBATCH", "2"))
+    hetero = int(os.environ.get("BENCH_HETERO", "0"))  # system count; 0 = off
     out = tempfile.mkdtemp(prefix="bench_pipeline_")
     print(f"devices: {jax.devices()}  sampler={which} B={b} relax B={relax_b} "
-          f"steps={relax_steps}  out={out}", flush=True)
+          f"steps={relax_steps} hetero={hetero}  out={out}", flush=True)
 
     # ---- stage 1: diffusion sampling (production DiffusionEngine + traj IO)
     model = make_model(which)
-    batches = [example_batch(b, seed=s) for s in range(n_batches)]
-    for i, bb in enumerate(batches):  # unique sids across batches
-        batches[i] = bb.replace(sid=bb.sid + i * b)
+    if hetero:
+        # OC20-Dense-like natoms spread (~30-230: lognormal slab sizes
+        # clipped to the dataset's observed range, 2-8 adsorbate atoms),
+        # batched through the production quantile-bucket policy
+        from adsorbdiff_tpu.data.buckets import BucketedBatcher as _BB
+        from adsorbdiff_tpu.data.schema import collate as _collate
+
+        hrng = np.random.default_rng(7)
+        hetero_systems = []
+        for i in range(hetero):
+            n_slab = int(np.clip(hrng.lognormal(np.log(70.0), 0.45), 24, 220))
+            n_ads = int(hrng.integers(2, 9))
+            sys_b = example_batch(1, n_slab=n_slab, n_ads=n_ads,
+                                  n_pad=n_slab + n_ads, seed=100 + i)
+            hetero_systems.append(sys_b)
+
+        class _ListDS:
+            def __len__(self):
+                return len(hetero_systems)
+
+            def __getitem__(self, i):
+                from adsorbdiff_tpu.data.schema import System
+
+                bb = hetero_systems[i]
+                n = int(bb.natoms[0])
+                return System(
+                    pos=np.asarray(bb.pos[0, :n]),
+                    atomic_numbers=np.asarray(bb.atomic_numbers[0, :n]),
+                    cell=np.asarray(bb.cell[0]),
+                    tags=np.asarray(bb.tags[0, :n]),
+                    fixed=np.asarray(bb.fixed[0, :n]),
+                    sid=i,
+                )
+
+            def natoms_array(self):
+                return np.asarray([int(bb.natoms[0]) for bb in hetero_systems])
+
+        sizes = _ListDS().natoms_array()
+        # BENCH_BUDGET: atom-balanced per-bucket batch sizes (B becomes the
+        # cap).  ~B*80 reproduces the homogeneous per-batch padded-atom work.
+        budget = int(os.environ.get("BENCH_BUDGET", "0")) or None
+        batches = list(_BB(_ListDS(), b, shuffle=False, atom_budget=budget))
+        pad_eff = float(sizes.sum()) / sum(bb.batch_size * bb.pos.shape[1] for bb in batches)
+        print(f"hetero: {hetero} systems, natoms {sizes.min()}-{sizes.max()} "
+              f"(mean {sizes.mean():.0f}), {len(batches)} sampling batches "
+              f"(sizes {sorted({bb.batch_size for bb in batches})}, budget={budget}), "
+              f"padding efficiency {pad_eff:.2f}", flush=True)
+        n_batches = len(batches)
+    else:
+        batches = [example_batch(b, seed=s) for s in range(n_batches)]
+    if not hetero:
+        for i, bb in enumerate(batches):  # unique sids across batches
+            batches[i] = bb.replace(sid=bb.sid + i * b)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
 
     def score_fn(cur, static=None):
@@ -67,15 +121,19 @@ def main() -> None:
 
     engine = DiffusionEngine(score_fn, PARAMS, static_fn=model.prepare_static)
     sample_dir = os.path.join(out, "sampled")
-    engine.run(batches[0], jax.random.PRNGKey(1), traj_dir=sample_dir, skip_existing=False)  # warm
+    warm_shapes = sorted({(bb.batch_size, bb.pos.shape[1]) for bb in batches})
+    for shape in warm_shapes:  # compile warm-up per distinct bucket shape
+        wb = next(bb for bb in batches if (bb.batch_size, bb.pos.shape[1]) == shape)
+        engine.run(wb, jax.random.PRNGKey(1), traj_dir=sample_dir, skip_existing=False)
     engine.flush()
     shutil.rmtree(sample_dir)
+    n_sampled = sum(len(set(np.asarray(bb.sid).tolist())) for bb in batches)
     t0 = time.perf_counter()
     for i, bb in enumerate(batches):
         res = engine.run(bb, jax.random.PRNGKey(2 + i), traj_dir=sample_dir, skip_existing=False)
     _ = jax.device_get(res.batch.pos[0, 0])  # fence the device queue
     engine.flush()  # fence the async trajectory writes
-    t_sample = (time.perf_counter() - t0) / (n_batches * b)
+    t_sample = (time.perf_counter() - t0) / n_sampled
     print(f"stage 1 sampling ({which}): {t_sample*1000:.1f} ms/system "
           f"(incl. traj write)", flush=True)
 
@@ -88,20 +146,32 @@ def main() -> None:
     # ---- stage 3: MLFF relaxation (production RelaxationEngine + traj IO)
     # (2,2,0) = what cell_reps:auto resolves for these vacuum slabs (+7.5%,
     # docs/PERF.md round 4)
-    gem = GemNetOC(mode="s2ef", compute_dtype="bfloat16", cell_reps=(2, 2, 0))
+    gem = GemNetOC(mode="s2ef", compute_dtype="bfloat16", cell_reps=(2, 2, 0),
+                   fused_quad=True)  # production flag (gemnet_relax.yml)
     gvars = jax.jit(gem.init)(jax.random.PRNGKey(0), batches[0])
     rengine = RelaxationEngine.from_model(gem, gvars, relax_opt={"steps": relax_steps, "fmax": 0.0})
     ds = ShardDataset({"src": os.path.join(out, "relax_in")})
-    rbatches = list(BucketedBatcher(ds, relax_b, shuffle=False))
+    r_budget = None
+    if hetero and int(os.environ.get("BENCH_BUDGET", "0")):
+        r_budget = relax_b * int(os.environ.get("BENCH_BUDGET", "0")) // b
+    rbatches = list(BucketedBatcher(ds, relax_b, shuffle=False, atom_budget=r_budget))
+    if hetero:
+        r_eff = float(sum(int(n) for bb in rbatches for n in np.asarray(bb.natoms))) / sum(
+            bb.batch_size * bb.pos.shape[1] for bb in rbatches)
+        print(f"relax buckets: {sorted({bb.pos.shape[1] for bb in rbatches})} "
+              f"batch sizes {sorted({bb.batch_size for bb in rbatches})} "
+              f"(budget={r_budget}) padding efficiency {r_eff:.2f}", flush=True)
     relax_dir = os.path.join(out, "relaxations")
-    rengine.run(rbatches[0], traj_dir=relax_dir, skip_existing=False)  # warm
+    for shape in sorted({(bb.batch_size, bb.pos.shape[1]) for bb in rbatches}):
+        wb = next(bb for bb in rbatches if (bb.batch_size, bb.pos.shape[1]) == shape)
+        rengine.run(wb, traj_dir=relax_dir, skip_existing=False)  # warm/compile
     rengine.flush()
     shutil.rmtree(relax_dir)
     t0 = time.perf_counter()
     n_relaxed = 0
     for bb in rbatches:
         rres = rengine.run(bb, traj_dir=relax_dir, skip_existing=False)
-        n_relaxed += bb.batch_size
+        n_relaxed += len(set(np.asarray(bb.sid).tolist()))
     _ = jax.device_get(rres.energy[0])  # fence the device queue
     rengine.flush()  # fence the async trajectory writes
     t_relax = (time.perf_counter() - t0) / n_relaxed
@@ -111,7 +181,7 @@ def main() -> None:
     per_system = t_sample + t_convert + t_relax
     sph_chip = 3600.0 / per_system
     print(json.dumps({
-        "metric": f"pipeline_systems_per_hour_per_chip[{which}]",
+        "metric": f"pipeline_systems_per_hour_per_chip[{which}{'-hetero' if hetero else ''}]",
         "per_system_s": round(per_system, 3),
         "stages_ms": {"sample": round(t_sample * 1e3, 1),
                       "convert": round(t_convert * 1e3, 2),
