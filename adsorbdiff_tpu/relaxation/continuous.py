@@ -39,6 +39,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import time
 from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -625,7 +626,9 @@ class ContinuousRelaxationEngine:
             state = state._replace(done=dead, finalized=dead)
         buffers: Dict[int, list] = {}  # writer-thread-owned frame accumulators
 
+        debug = os.environ.get("ADSORBDIFF_CONT_DEBUG", "0") != "0"
         while True:
+            t_dispatch = time.perf_counter()
             state, tp, te, tf, emit = chunk_fn(state)
             # ONE packed readback per chunk (each device_get pays a full
             # round trip on remote-device runtimes)
@@ -634,7 +637,9 @@ class ContinuousRelaxationEngine:
                 state.it,
                 state.conv.astype(jnp.int32),
             ])
+            t_enq = time.perf_counter()
             flags = np.asarray(jax.device_get(packed)).reshape(3, b)
+            t_read = time.perf_counter()
             retirable, its, convs = flags[0].astype(bool), flags[1], flags[2].astype(bool)
             retire = []
             for i in range(b):
@@ -695,6 +700,13 @@ class ContinuousRelaxationEngine:
                     b = b_new
                     chunk_fn = self._chunk_fn(b, n_pad)
                     self.narrow_events.append((len(live), b_new))
+            if debug:
+                logging.info(
+                    "cont chunk: dispatch %.3fs readback %.3fs retire+refill %.3fs "
+                    "(retired %d, pool %d)",
+                    t_enq - t_dispatch, t_read - t_enq,
+                    time.perf_counter() - t_read, len(retire), len(pool),
+                )
             if all(o is None for o in occupants.values()) and not pool:
                 break
         self.flush()
