@@ -74,6 +74,9 @@ def test_full_pipeline(tmp_path, rng):
         relaxation_fmax=0.01,
         dft_targets=dft_targets,
         batch_size=4,
+        # atom-balanced batching through the production wiring (big buckets
+        # get smaller batches; see data/buckets.py)
+        atom_budget=4 * 12,
     )
     assert rate is not None and 0.0 <= rate <= 1.0
     # per-seed outputs exist
