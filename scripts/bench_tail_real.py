@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -59,16 +60,28 @@ def make_systems(rng, count, n_slab=74, n_ads=6, with_targets=True):
     for i in range(count):
         cell = np.diag([11.4, 11.4, 36.0]).astype(np.float32)
         slab = ((rng.random((n_slab, 3)) * [1, 1, 0.35]) @ cell).astype(np.float32)
-        ads = rng.random((n_ads, 3)).astype(np.float32) * 2.0 + np.array([5, 5, 13.2], np.float32)
+        # adsorbate: a compact cluster with >=1.4 A clearance above the top
+        # slab atom — keeps every pair on the bounded outer Morse branch
+        # (ex <= e^{1.3*0.8} ~ 2.8), so energies/forces have no exponential
+        # tail and the regression targets are learnable
+        top_z = float(slab[:, 2].max())
+        center = np.array([rng.uniform(2.5, 8.9), rng.uniform(2.5, 8.9),
+                           top_z + rng.uniform(1.4, 3.0)], np.float32)
+        ads = center + rng.normal(scale=0.6, size=(n_ads, 3)).astype(np.float32)
+        ads[:, 2] = np.maximum(ads[:, 2], top_z + 1.4)
         pos = np.concatenate([slab, ads]).astype(np.float32)
         tags = np.array([0] * (n_slab // 2) + [1] * (n_slab - n_slab // 2) + [2] * n_ads, np.int32)
         z = np.concatenate([rng.integers(20, 80, n_slab), rng.integers(1, 9, n_ads)])
+        # only the adsorbate relaxes (the Morse truth has no slab-slab
+        # restoring forces, so free surface atoms would collapse into the
+        # wells and |F| could never reach fmax) — matches the AdsorbDiff
+        # placement problem, where the slab is frozen at its DFT geometry
         kw = {}
         if with_targets:
             e, f = morse_targets(pos, z, tags, cell)
             kw = dict(energy=e, forces=f, y_relaxed=e)
         systems.append(System(pos=pos, atomic_numbers=z, cell=cell, tags=tags,
-                              fixed=tags == 0, sid=i, pos_relaxed=pos, **kw))
+                              fixed=tags != 2, sid=i, pos_relaxed=pos, **kw))
     return systems
 
 
@@ -85,18 +98,26 @@ def main() -> None:
     fmax = float(os.environ.get("BENCH_FMAX", "0.05"))
     steps = int(os.environ.get("BENCH_RELAX_STEPS", "300"))
     b = int(os.environ.get("BENCH_B", "8"))
-    train_epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
+    train_epochs = int(os.environ.get("BENCH_EPOCHS", "16"))
     out = tempfile.mkdtemp(prefix="bench_tail_")
     rng = np.random.default_rng(0)
     print(f"devices: {jax.devices()}  nsys={n_sys} fmax={fmax} steps={steps}", flush=True)
 
     # ---- train a published-size GemNet-OC on the Morse landscape ----------
     os.makedirs(os.path.join(out, "train"))
-    write_shard(os.path.join(out, "train", "part0"), make_systems(rng, 256))
+    train_systems = make_systems(rng, 256)
+    write_shard(os.path.join(out, "train", "part0"), train_systems)
+    e_all = np.array([s.energy for s in train_systems])
+    f_all = np.concatenate([s.forces.ravel() for s in train_systems])
+    print(f"targets: E mean {e_all.mean():.2f} std {e_all.std():.2f}, "
+          f"F std {f_all.std():.3f}", flush=True)
     cfg = dict(
         dataset=[{"src": os.path.join(out, "train"),
-                  "normalize_labels": True, "target_mean": 0.0, "target_std": 1.0,
-                  "grad_target_mean": 0.0, "grad_target_std": 1.0}],
+                  "normalize_labels": True,
+                  "target_mean": float(e_all.mean()),
+                  "target_std": float(e_all.std() + 1e-8),
+                  "grad_target_mean": 0.0,
+                  "grad_target_std": float(f_all.std() + 1e-8)}],
         model=dict(name="gemnet_oc", mode="s2ef", num_spherical=7, num_radial=128,
                    num_blocks=4, emb_size_atom=256, emb_size_edge=512,
                    cutoff=12.0, max_neighbors=30, max_neighbors_qint=8,
@@ -122,22 +143,56 @@ def main() -> None:
     relax_opt = {"maxstep": 0.04, "memory": 50, "damping": 1.0, "alpha": 70.0,
                  "fmax": fmax, "steps": steps, "slots": b, "chunk_steps": 32}
 
-    # continuous engine (warm compile outside the timed window)
+    # same-session per-step cost (chained fixed-step runs, one fence): the
+    # tunnel-robust anchor for the derived-barrier arithmetic below
+    from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax
+
+    cf = trainer.relax_candidate_fn(relax_opt)
+    from adsorbdiff_tpu.data.schema import collate
+
+    anchor = collate(eval_systems[:b], max_atoms=80)
+    run100 = jax.jit(lambda bb: lbfgs_relax(
+        trainer.energy_forces_fn, bb, steps=100, fmax=0.0, candidate_fn=cf))
+    _ = jax.device_get(run100(anchor).energy[0])  # warm
+
+    def timed(nreps):
+        bb, t0 = anchor, time.perf_counter()
+        for _ in range(nreps):
+            rr = run100(bb)
+            bb = bb.replace(pos=bb.pos + jnp.mean(rr.energy) * 1e-12)
+        _ = jax.device_get(rr.energy[0])
+        return time.perf_counter() - t0
+
+    t2, t6 = timed(2), timed(6)
+    ms_step = (t6 - t2) / 4 / 100 * 1000
+    print(f"per-step anchor: {ms_step:.1f} ms/step (B={b})", flush=True)
+
+    # continuous engine (warm compile outside the timed window; budgets=[1]
+    # warms retire + refill too)
     eng = ContinuousRelaxationEngine(
         trainer.energy_forces_fn, relax_opt,
         candidate_fn=trainer.relax_candidate_fn(relax_opt))
-    _ = eng.run_systems(eval_systems[:b], max_atoms=80, skip_existing=False)
+    _ = eng.run_systems(eval_systems[: b + 1], budgets=[1] * (b + 1),
+                        max_atoms=80, skip_existing=False)
     t0 = time.perf_counter()
     res = eng.run_systems(eval_systems, max_atoms=80, skip_existing=False)
     t_cont = time.perf_counter() - t0
-    nsteps = np.array([r.nsteps for r in res.values()])
-    conv = np.array([r.converged for r in res.values()])
+    nsteps = np.array([res[s.sid].nsteps for s in eval_systems])
+    conv = np.array([res[s.sid].converged for s in eval_systems])
     print(f"continuous: {t_cont:.1f} s for {n_sys} systems "
           f"({3600 * n_sys / t_cont:.0f} systems/h/chip)", flush=True)
     print(f"REAL convergence spread: nsteps p10/p50/p90 = "
           f"{np.percentile(nsteps, 10):.0f}/{np.percentile(nsteps, 50):.0f}/"
           f"{np.percentile(nsteps, 90):.0f}, converged {conv.mean() * 100:.0f}%",
           flush=True)
+    # derived barrier on the MEASURED convergence distribution (the round-4
+    # protocol, bench_continuous.py): arrival-order batches each pay their
+    # slowest member, at the same-session per-step anchor — tunnel-robust
+    batch_maxes = [int(nsteps[i:i + b].max()) for i in range(0, n_sys, b)]
+    barrier_derived = sum(batch_maxes) * ms_step / 1000
+    ideal = float(nsteps.sum()) / b * ms_step / 1000
+    print(f"barrier (derived from real nsteps): {barrier_derived:.1f} s; "
+          f"zero-overhead ideal {ideal:.1f} s", flush=True)
 
     # barrier engine: same systems, same fmax early-exit (whole batch exits
     # when ALL its systems converge — lbfgs early_exit), B-sized batches
@@ -159,8 +214,12 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "tail_real_convergence_speedup[continuous/barrier]",
-        "value": round(t_barrier / t_cont, 3),
-        "continuous_s": round(t_cont, 1), "barrier_s": round(t_barrier, 1),
+        "value": round(barrier_derived / t_cont, 3),
+        "speedup_vs_barrier_measured": round(t_barrier / t_cont, 3),
+        "continuous_s": round(t_cont, 1),
+        "barrier_s_derived": round(barrier_derived, 1),
+        "barrier_s_measured": round(t_barrier, 1),
+        "ideal_s": round(ideal, 1), "ms_step_anchor": round(ms_step, 1),
         "nsteps_p10_p50_p90": [int(np.percentile(nsteps, p)) for p in (10, 50, 90)],
         "converged_frac": round(float(conv.mean()), 3),
         "fmax": fmax, "n_sys": n_sys,
