@@ -95,13 +95,17 @@ def main() -> None:
     from adsorbdiff_tpu.train.trainer import S2EFTrainer
 
     n_sys = int(os.environ.get("BENCH_NSYS", "64"))
-    fmax = float(os.environ.get("BENCH_FMAX", "0.05"))
+    # comma list = same-trained-model sweep (convergence fraction / spread /
+    # engine A/B per threshold; one training pays for all)
+    fmax_list = [float(x) for x in os.environ.get("BENCH_FMAX", "0.05,0.1,0.2").split(",")]
     steps = int(os.environ.get("BENCH_RELAX_STEPS", "300"))
     b = int(os.environ.get("BENCH_B", "8"))
     train_epochs = int(os.environ.get("BENCH_EPOCHS", "16"))
+    cdtype = os.environ.get("BENCH_DTYPE", "bf16")  # f32 isolates the bf16 force-noise floor
     out = tempfile.mkdtemp(prefix="bench_tail_")
     rng = np.random.default_rng(0)
-    print(f"devices: {jax.devices()}  nsys={n_sys} fmax={fmax} steps={steps}", flush=True)
+    print(f"devices: {jax.devices()}  nsys={n_sys} fmax={fmax_list} steps={steps} "
+          f"dtype={cdtype}", flush=True)
 
     # ---- train a published-size GemNet-OC on the Morse landscape ----------
     os.makedirs(os.path.join(out, "train"))
@@ -122,7 +126,8 @@ def main() -> None:
                    num_blocks=4, emb_size_atom=256, emb_size_edge=512,
                    cutoff=12.0, max_neighbors=30, max_neighbors_qint=8,
                    max_neighbors_aeaint=20, qint_tags=(1, 2),
-                   compute_dtype="bfloat16", cell_reps=(2, 2, 0), fused_quad=True),
+                   compute_dtype=None if cdtype == "f32" else "bfloat16",
+                   cell_reps=(2, 2, 0), fused_quad=True),
         optim=dict(batch_size=b, lr_initial=1e-3, optimizer_params={"weight_decay": 0.0},
                    scheduler="LambdaLR",
                    scheduler_params={"lambda_type": "cosine", "warmup_factor": 0.2,
@@ -140,16 +145,15 @@ def main() -> None:
 
     # ---- relax fresh placements with genuine fmax stopping ----------------
     eval_systems = make_systems(np.random.default_rng(1), n_sys, with_targets=False)
-    relax_opt = {"maxstep": 0.04, "memory": 50, "damping": 1.0, "alpha": 70.0,
-                 "fmax": fmax, "steps": steps, "slots": b, "chunk_steps": 32}
+    base_opt = {"maxstep": 0.04, "memory": 50, "damping": 1.0, "alpha": 70.0,
+                "steps": steps, "slots": b, "chunk_steps": 32}
 
     # same-session per-step cost (chained fixed-step runs, one fence): the
     # tunnel-robust anchor for the derived-barrier arithmetic below
+    from adsorbdiff_tpu.data.schema import collate
     from adsorbdiff_tpu.relaxation.lbfgs import lbfgs_relax
 
-    cf = trainer.relax_candidate_fn(relax_opt)
-    from adsorbdiff_tpu.data.schema import collate
-
+    cf = trainer.relax_candidate_fn(base_opt)
     anchor = collate(eval_systems[:b], max_atoms=80)
     run100 = jax.jit(lambda bb: lbfgs_relax(
         trainer.energy_forces_fn, bb, steps=100, fmax=0.0, candidate_fn=cf))
@@ -167,63 +171,64 @@ def main() -> None:
     ms_step = (t6 - t2) / 4 / 100 * 1000
     print(f"per-step anchor: {ms_step:.1f} ms/step (B={b})", flush=True)
 
-    # continuous engine (warm compile outside the timed window; budgets=[1]
-    # warms retire + refill too)
-    eng = ContinuousRelaxationEngine(
-        trainer.energy_forces_fn, relax_opt,
-        candidate_fn=trainer.relax_candidate_fn(relax_opt))
-    _ = eng.run_systems(eval_systems[: b + 1], budgets=[1] * (b + 1),
-                        max_atoms=80, skip_existing=False)
-    t0 = time.perf_counter()
-    res = eng.run_systems(eval_systems, max_atoms=80, skip_existing=False)
-    t_cont = time.perf_counter() - t0
-    nsteps = np.array([res[s.sid].nsteps for s in eval_systems])
-    conv = np.array([res[s.sid].converged for s in eval_systems])
-    print(f"continuous: {t_cont:.1f} s for {n_sys} systems "
-          f"({3600 * n_sys / t_cont:.0f} systems/h/chip)", flush=True)
-    print(f"REAL convergence spread: nsteps p10/p50/p90 = "
-          f"{np.percentile(nsteps, 10):.0f}/{np.percentile(nsteps, 50):.0f}/"
-          f"{np.percentile(nsteps, 90):.0f}, converged {conv.mean() * 100:.0f}%",
-          flush=True)
-    # derived barrier on the MEASURED convergence distribution (the round-4
-    # protocol, bench_continuous.py): arrival-order batches each pay their
-    # slowest member, at the same-session per-step anchor — tunnel-robust
-    batch_maxes = [int(nsteps[i:i + b].max()) for i in range(0, n_sys, b)]
-    barrier_derived = sum(batch_maxes) * ms_step / 1000
-    ideal = float(nsteps.sum()) / b * ms_step / 1000
-    print(f"barrier (derived from real nsteps): {barrier_derived:.1f} s; "
-          f"zero-overhead ideal {ideal:.1f} s", flush=True)
+    for fmax in fmax_list:
+        relax_opt = dict(base_opt, fmax=fmax)
+        # continuous engine (warm compile outside the timed window;
+        # budgets=[1] warms retire + refill too)
+        eng = ContinuousRelaxationEngine(
+            trainer.energy_forces_fn, relax_opt,
+            candidate_fn=trainer.relax_candidate_fn(relax_opt))
+        _ = eng.run_systems(eval_systems[: b + 1], budgets=[1] * (b + 1),
+                            max_atoms=80, skip_existing=False)
+        t0 = time.perf_counter()
+        res = eng.run_systems(eval_systems, max_atoms=80, skip_existing=False)
+        t_cont = time.perf_counter() - t0
+        nsteps = np.array([res[s.sid].nsteps for s in eval_systems])
+        conv = np.array([res[s.sid].converged for s in eval_systems])
+        print(f"fmax={fmax} continuous: {t_cont:.1f} s for {n_sys} systems "
+              f"({3600 * n_sys / t_cont:.0f} systems/h/chip)", flush=True)
+        print(f"fmax={fmax} REAL convergence spread: nsteps p10/p50/p90 = "
+              f"{np.percentile(nsteps, 10):.0f}/{np.percentile(nsteps, 50):.0f}/"
+              f"{np.percentile(nsteps, 90):.0f}, converged {conv.mean() * 100:.0f}%",
+              flush=True)
+        # derived barrier on the MEASURED convergence distribution (the
+        # round-4 protocol, bench_continuous.py): arrival-order batches each
+        # pay their slowest member, at the same-session per-step anchor —
+        # tunnel-robust
+        batch_maxes = [int(nsteps[i:i + b].max()) for i in range(0, n_sys, b)]
+        barrier_derived = sum(batch_maxes) * ms_step / 1000
+        ideal = float(nsteps.sum()) / b * ms_step / 1000
+        print(f"fmax={fmax} barrier (derived from real nsteps): "
+              f"{barrier_derived:.1f} s; zero-overhead ideal {ideal:.1f} s", flush=True)
 
-    # barrier engine: same systems, same fmax early-exit (whole batch exits
-    # when ALL its systems converge — lbfgs early_exit), B-sized batches
-    from adsorbdiff_tpu.data.schema import collate
+        # barrier engine: same systems, same fmax early-exit (whole batch
+        # exits when ALL its systems converge — lbfgs early_exit), B batches
+        reng = RelaxationEngine(
+            trainer.energy_forces_fn, relax_opt, steps=steps, fmax=fmax,
+            candidate_fn=trainer.relax_candidate_fn(relax_opt))
+        warm = collate(eval_systems[:b], max_atoms=80)
+        _ = reng.run(warm)
+        t0 = time.perf_counter()
+        for s0 in range(0, n_sys, b):
+            bb = collate(eval_systems[s0:s0 + b], max_atoms=80)
+            r = reng.run(bb)
+        _ = jax.device_get(r.energy[0])
+        t_barrier = time.perf_counter() - t0
+        print(f"fmax={fmax} barrier: {t_barrier:.1f} s "
+              f"({3600 * n_sys / t_barrier:.0f} systems/h/chip)", flush=True)
 
-    reng = RelaxationEngine(
-        trainer.energy_forces_fn, relax_opt, steps=steps, fmax=fmax,
-        candidate_fn=trainer.relax_candidate_fn(relax_opt))
-    warm = collate(eval_systems[:b], max_atoms=80)
-    _ = reng.run(warm)
-    t0 = time.perf_counter()
-    for s0 in range(0, n_sys, b):
-        bb = collate(eval_systems[s0:s0 + b], max_atoms=80)
-        r = reng.run(bb)
-    _ = jax.device_get(r.energy[0])
-    t_barrier = time.perf_counter() - t0
-    print(f"barrier: {t_barrier:.1f} s ({3600 * n_sys / t_barrier:.0f} systems/h/chip)",
-          flush=True)
-
-    print(json.dumps({
-        "metric": "tail_real_convergence_speedup[continuous/barrier]",
-        "value": round(barrier_derived / t_cont, 3),
-        "speedup_vs_barrier_measured": round(t_barrier / t_cont, 3),
-        "continuous_s": round(t_cont, 1),
-        "barrier_s_derived": round(barrier_derived, 1),
-        "barrier_s_measured": round(t_barrier, 1),
-        "ideal_s": round(ideal, 1), "ms_step_anchor": round(ms_step, 1),
-        "nsteps_p10_p50_p90": [int(np.percentile(nsteps, p)) for p in (10, 50, 90)],
-        "converged_frac": round(float(conv.mean()), 3),
-        "fmax": fmax, "n_sys": n_sys,
-    }), flush=True)
+        print(json.dumps({
+            "metric": "tail_real_convergence_speedup[continuous/barrier]",
+            "value": round(barrier_derived / t_cont, 3),
+            "speedup_vs_barrier_measured": round(t_barrier / t_cont, 3),
+            "continuous_s": round(t_cont, 1),
+            "barrier_s_derived": round(barrier_derived, 1),
+            "barrier_s_measured": round(t_barrier, 1),
+            "ideal_s": round(ideal, 1), "ms_step_anchor": round(ms_step, 1),
+            "nsteps_p10_p50_p90": [int(np.percentile(nsteps, p)) for p in (10, 50, 90)],
+            "converged_frac": round(float(conv.mean()), 3),
+            "fmax": fmax, "dtype": cdtype, "n_sys": n_sys,
+        }), flush=True)
     shutil.rmtree(out, ignore_errors=True)
 
 
