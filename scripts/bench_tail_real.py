@@ -135,7 +135,10 @@ def main() -> None:
                    max_epochs=train_epochs, clip_grad_norm=50, ema_decay=0.99,
                    energy_coefficient=1, force_coefficient=30,
                    loss_energy="mae", loss_force="l2mae",
-                   eval_every=10**9, checkpoint_every=-1, print_every=64),
+                   # checkpoint_every=-1 = save every epoch (reference
+                   # semantics); skip saves — training here only produces the
+                   # in-memory model for the relax A/B
+                   eval_every=10**9, checkpoint_every=10**9, print_every=64),
         task={}, seed=0, run_dir=out, identifier="tail", is_debug=True,
     )
     t0 = time.perf_counter()

@@ -73,7 +73,10 @@ def main() -> None:
                    scheduler_params={"lambda_type": "cosine", "warmup_factor": 0.2,
                                      "warmup_epochs": 1, "lr_min_factor": 0.01},
                    max_epochs=epochs, clip_grad_norm=100, ema_decay=0.999,
-                   eval_every=10**9, checkpoint_every=-1, print_every=200,
+                   # checkpoint_every=-1 means SAVE EVERY EPOCH (reference
+                   # semantics) — a full param readback through the tunnel
+                   # per epoch, which is not the loop under test
+                   eval_every=10**9, checkpoint_every=10**9, print_every=200,
                    prefetch_depth=prefetch,
                    use_denoising_pos=True, denoising_pos_params=denoise),
         task={}, seed=0, run_dir=out, identifier="bench", is_debug=True,
