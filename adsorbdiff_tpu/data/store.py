@@ -61,20 +61,33 @@ class _Shard:
         self._z = np.load(path, allow_pickle=False)
         self.natoms = self._z["natoms"]
         self.offsets = self._z["offsets"]
+        self._cols: Optional[dict] = None
 
     def __len__(self) -> int:
         return len(self.natoms)
 
+    def _materialize(self) -> dict:
+        # NpzFile.__getitem__ re-reads and re-DECOMPRESSES the whole zip
+        # member on every access, so routing get() through it decompresses
+        # six full columns per system — measured 4.2 batches/s host-side at
+        # B=16, which made published-size training input-bound (183 ms/step
+        # against an 8.1 ms device step).  Decompress each column exactly
+        # once per process; get() is then a zero-copy numpy slice.  Memory =
+        # the decompressed shard (~2 MB per 512 published-size systems).
+        if self._cols is None:
+            self._cols = {k: self._z[k] for k in self._z.files}
+        return self._cols
+
     def get(self, i: int) -> System:
         a, b = int(self.offsets[i]), int(self.offsets[i + 1])
-        z = self._z
+        z = self._materialize()
         return System(
             pos=z["pos"][a:b],
             atomic_numbers=z["atomic_numbers"][a:b],
             tags=z["tags"][a:b],
             fixed=z["fixed"][a:b],
             pos_relaxed=z["pos_relaxed"][a:b],
-            forces=z["forces"][a:b] if "forces" in z.files else None,
+            forces=z["forces"][a:b] if "forces" in z else None,
             cell=z["cell"][i],
             sid=int(z["sid"][i]),
             fid=int(z["fid"][i]),

@@ -63,6 +63,18 @@ def test_shard_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(half[0].pos, systems[5].pos, atol=1e-6)
 
 
+def test_shard_get_is_zero_copy(tmp_path, rng):
+    """Repeated gets slice ONE decompressed column array per shard —
+    NpzFile.__getitem__ would otherwise re-decompress every column on every
+    access (measured: made published-size training input-bound)."""
+    systems = [rand_system(rng, int(n), sid=i) for i, n in enumerate(rng.integers(4, 30, 6))]
+    write_shard(str(tmp_path / "d"), systems)
+    ds = ShardDataset({"src": str(tmp_path / "d")})
+    a, b = ds[2], ds[2]
+    assert a.pos.base is b.pos.base and a.pos.base is not None
+    assert ds[0].atomic_numbers.base is ds[5].atomic_numbers.base
+
+
 def test_bucketed_batcher(tmp_path, rng):
     systems = [rand_system(rng, int(n), sid=i) for i, n in enumerate(rng.integers(4, 60, 40))]
     write_shard(str(tmp_path / "d"), systems)
