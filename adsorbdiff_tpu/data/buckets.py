@@ -109,7 +109,10 @@ class BucketedBatcher:
                 for b in range(len(size_edges))
             ]
         else:
-            self.bucket_edges = list(bucket_edges) if bucket_edges is not None else default_bucket_edges(natoms)
+            self.bucket_edges = (
+                list(bucket_edges) if bucket_edges is not None
+                else default_bucket_edges(natoms, num_buckets)
+            )
             self._bucket_of = np.searchsorted(self.bucket_edges, natoms)
             if (self._bucket_of >= len(self.bucket_edges)).any():
                 raise ValueError(
