@@ -216,6 +216,18 @@ def _cos_clamped(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(num / jnp.maximum(den, 1e-9), -1.0, 1.0)
 
 
+def _img_key(src, off) -> jnp.ndarray:
+    """Fold a (periodic source atom, summed offset) tuple into ONE int32 key
+    so fused kernels evaluate edge-identity exclusions as a broadcast
+    compare.  Offsets are bounded by cell_reps (<= 7 in magnitude), so
+    base-16 digits encode exactly.  Two edges share a key iff they are the
+    same geometric pair — the condition `_same_edge` tests field-wise."""
+    k = src
+    for ci in range(3):
+        k = k * 16 + (off[..., ci] + 8)
+    return k.astype(jnp.int32)
+
+
 def _same_edge(src_a, off_a, src_b, off_b) -> jnp.ndarray:
     """True where (src, offset) pairs denote the same periodic neighbor."""
     return (src_a == src_b) & jnp.all(off_a == off_b, axis=-1)
@@ -306,6 +318,9 @@ class GemNetOC(nn.Module):
     fused_quad: bool = False  # whole quadruplet-chain pallas kernel (dihedral
     # basis + c==d mask + d2 + outer in one VMEM pass,
     # ops/pallas_kernels.py::gemnet_quad_chain); custom VJP recomputes in XLA
+    fused_trip: bool = False  # e2e/a2e/e2a triplet-chain consumers through the
+    # same kernel at q=1 (Legendre(cos) basis + exclusion mask from edge keys
+    # + k-contraction + radW outer, nothing in HBM between); same VJP contract
     derive_subgraphs: bool = True  # aeaint/qint as K-prefix views of the main
     # table when cutoffs allow (base.py::derive_subgraph); False = 3 builds (A/B)
     compute_dtype: Optional[str] = None  # "bfloat16": feature-path Dense /
@@ -452,7 +467,18 @@ class GemNetOC(nn.Module):
         # factorized triplet basis (same reordering as the quad interaction:
         # the bilinear's k-contraction runs against the S-component cbf
         # instead of a materialized [B,N,K1,K2,F] cir tensor)
-        if self.use_pallas:
+        key_main = _img_key(nl.src, nl.cell_offsets) if (
+            self.fused_trip or self.quad_interaction and self.fused_quad
+        ) else None
+        if self.fused_trip:
+            # whole-chain kernel consumes the raw units + exclusion keys per
+            # block; no basis tensor is materialized.  The identical-edge
+            # exclusion (k2 == k1 slot) IS key equality: neighbor-table rows
+            # are distinct (atom, image) candidates, so same key <=> same slot.
+            cbf_e2e = e2e_eq = None
+            tkey_out_e2e = jnp.where(emask, key_main, -1)  # [B,N,K1]
+            tkey_in_e2e = jnp.where(emask, key_main, -2)[:, :, None, :]  # [B,N,1,K1]
+        elif self.use_pallas:
             from adsorbdiff_tpu.ops.pallas_kernels import gemnet_cbf_basis
 
             cbf_e2e = gemnet_cbf_basis(
@@ -535,17 +561,6 @@ class GemNetOC(nn.Module):
             q_off_rows = _gather_rows(nl.cell_offsets, nl_q.src)  # [B,N,Kq,K2,3]
             quad_keys = None
             if self.fused_quad:
-                # the c==d condition compares (periodic source atom, summed
-                # offset) tuples — fold each into ONE int key so the fused
-                # kernel evaluates the exclusion as a broadcast compare.
-                # Offsets are bounded by cell_reps (<= 7 in magnitude), so
-                # base-16 digits encode exactly.
-                def _img_key(src, off):
-                    k = src
-                    for ci in range(3):
-                        k = k * 16 + (off[..., ci] + 8)
-                    return k.astype(jnp.int32)
-
                 quad_keys = (
                     _img_key(nl.src, nl.cell_offsets),  # [B,N,K1]
                     _img_key(
@@ -610,9 +625,15 @@ class GemNetOC(nn.Module):
             nl_ae.src[:, :, None, :], nl_ae.cell_offsets[:, :, None, :, :],
             nl.src[:, :, :, None], nl.cell_offsets[:, :, :, None, :],
         )  # [B,N,K1,Kae]: same periodic source atom across the two tables
+        key_ae = _img_key(nl_ae.src, nl_ae.cell_offsets) if self.fused_trip else None
         if self.atom_edge_interaction:
             trip_mask_a2e = emask[:, :, :, None] & nl_ae.mask[:, :, None, :] & ~same_ae
-            if self.use_pallas:
+            if self.fused_trip:
+                # b == c exclusion across tables = same (src, offset) = same key
+                cbf_a2e = a2e_eq = None
+                tkey_out_a2e = jnp.where(emask, key_main, -1)
+                tkey_in_a2e = jnp.where(nl_ae.mask, key_ae, -2)[:, :, None, :]
+            elif self.use_pallas:
                 from adsorbdiff_tpu.ops.pallas_kernels import gemnet_cbf_basis
 
                 cbf_a2e = gemnet_cbf_basis(
@@ -635,15 +656,20 @@ class GemNetOC(nn.Module):
         # in-edge b->a (main) and out-edge c->a (a2ee2a) share the target a;
         # the bilinear output aggregates into atom a (the a2ee2a target).
         if self.edge_atom_interaction:
-            cos_e2a = _cos_clamped(unit_ae[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca(ae), V_ba(main)>
-            trip_mask_e2a = (
-                nl_ae.mask[:, :, :, None]
-                & emask[:, :, None, :]
-                & ~jnp.swapaxes(same_ae, 2, 3)
-            )  # [B,N,Kae,K1]
-            cbf_e2a = cdt_cast(jnp.where(
-                trip_mask_e2a[..., None], legendre_y_l0(cos_e2a, self.num_spherical), 0.0
-            ))  # [B,N,Kae,K1,S], mask folded
+            if self.fused_trip:
+                cbf_e2a = None
+                tkey_out_e2a = jnp.where(nl_ae.mask, key_ae, -1)
+                tkey_in_e2a = jnp.where(emask, key_main, -2)[:, :, None, :]
+            else:
+                cos_e2a = _cos_clamped(unit_ae[:, :, :, None, :], unit[:, :, None, :, :])  # <V_ca(ae), V_ba(main)>
+                trip_mask_e2a = (
+                    nl_ae.mask[:, :, :, None]
+                    & emask[:, :, None, :]
+                    & ~jnp.swapaxes(same_ae, 2, 3)
+                )  # [B,N,Kae,K1]
+                cbf_e2a = cdt_cast(jnp.where(
+                    trip_mask_e2a[..., None], legendre_y_l0(cos_e2a, self.num_spherical), 0.0
+                ))  # [B,N,Kae,K1,S], mask folded
             radw_eaint = BasisEmbedding(
                 self.num_radial, self.emb_size_cbf, self.num_spherical, name="mlp_cbf_eaint"
             )(rad_ae, radw_only=True)  # [B,N,Kae,S,F] — radial of the a2ee2a OUT edge
@@ -734,8 +760,19 @@ class GemNetOC(nn.Module):
             )
             x_ba = DenseLayer(self.emb_size_trip_in, name=f"{name}_tint_down")(x_ba)
             # in-edges b->a are the other slots of the SAME row a — no gather
-            d_t = jnp.einsum(e2e_eq, cbf_e2e, x_ba)
-            outer_t = jnp.einsum("bnusf,bnuse->bnufe", radw_tint.astype(d_t.dtype), d_t)
+            if self.fused_trip:
+                from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_chain
+
+                outer_t = gemnet_quad_chain(
+                    unit[:, :, :, None, :], unit[:, :, None, :, :],
+                    tkey_out_e2e, tkey_in_e2e,
+                    jnp.where(emask[..., None], x_ba, 0.0)[:, :, None],
+                    radw_tint.astype(x_ba.dtype)[:, :, :, :, None, :],
+                    self.num_spherical, out_dtype=compute_dtype() or jnp.float32,
+                )  # [B,N,K1,F,E]
+            else:
+                d_t = jnp.einsum(e2e_eq, cbf_e2e, x_ba)
+                outer_t = jnp.einsum("bnusf,bnuse->bnufe", radw_tint.astype(d_t.dtype), d_t)
             x_t = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                     name=f"{name}_tint_bilinear")(outer=outer_t)
             x_t = ScaleFactor(name=f"{name}_tint_scale_sum")(x_t)
@@ -796,8 +833,19 @@ class GemNetOC(nn.Module):
                 )
                 x_h = DenseLayer(self.emb_size_trip_in, name=f"{name}_aeint_down")(x_h)
                 # in-edges (a2ee2a b->a) are slots of the same row a — no gather
-                d_ae = jnp.einsum(a2e_eq, cbf_a2e, x_h)
-                outer_ae = jnp.einsum("bnusf,bnuse->bnufe", radw_aeint.astype(d_ae.dtype), d_ae)
+                if self.fused_trip:
+                    from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_chain
+
+                    outer_ae = gemnet_quad_chain(
+                        unit[:, :, :, None, :], unit_ae[:, :, None, :, :],
+                        tkey_out_a2e, tkey_in_a2e,
+                        jnp.where(nl_ae.mask[..., None], x_h, 0.0)[:, :, None],
+                        radw_aeint.astype(x_h.dtype)[:, :, :, :, None, :],
+                        self.num_spherical, out_dtype=compute_dtype() or jnp.float32,
+                    )
+                else:
+                    d_ae = jnp.einsum(a2e_eq, cbf_a2e, x_h)
+                    outer_ae = jnp.einsum("bnusf,bnuse->bnufe", radw_aeint.astype(d_ae.dtype), d_ae)
                 x_ae = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                          name=f"{name}_aeint_bilinear")(outer=outer_ae)
                 x_ae = ScaleFactor(name=f"{name}_aeint_scale_sum")(x_ae)
@@ -821,8 +869,20 @@ class GemNetOC(nn.Module):
                 x_m = DenseLayer(self.emb_size_trip_in, name=f"{name}_eaint_down")(x_m)
                 # in-edges (main b->a) are slots of the same row a — no gather;
                 # per atom: sum over (kae, s, k1) of radW(d_ca) Y(cab) x[b->a]
-                d_ea = jnp.einsum("bnaks,bnke->bnase", cbf_e2a, x_m)  # [B,N,Kae,S,ei]
-                outer_ea = jnp.einsum("bnasf,bnase->bnfe", radw_eaint.astype(d_ea.dtype), d_ea)
+                if self.fused_trip:
+                    from adsorbdiff_tpu.ops.pallas_kernels import gemnet_quad_chain
+
+                    out_ea_u = gemnet_quad_chain(
+                        unit_ae[:, :, :, None, :], unit[:, :, None, :, :],
+                        tkey_out_e2a, tkey_in_e2a,
+                        jnp.where(emask[..., None], x_m, 0.0)[:, :, None],
+                        radw_eaint.astype(x_m.dtype)[:, :, :, :, None, :],
+                        self.num_spherical, out_dtype=compute_dtype() or jnp.float32,
+                    )  # [B,N,Kae,F,E]; e2a aggregates into the atom
+                    outer_ea = jnp.sum(out_ea_u, axis=2)
+                else:
+                    d_ea = jnp.einsum("bnaks,bnke->bnase", cbf_e2a, x_m)  # [B,N,Kae,S,ei]
+                    outer_ea = jnp.einsum("bnasf,bnase->bnfe", radw_eaint.astype(d_ea.dtype), d_ea)
                 h_e2a_kb = EfficientBilinear(self.emb_size_trip_in, self.emb_size_cbf, self.emb_size_trip_out,
                                              name=f"{name}_eaint_bilinear")(outer=outer_ea)
                 h_e2a = ScaleFactor(name=f"{name}_eaint_scale_sum")(h_e2a_kb)

@@ -37,19 +37,20 @@ def main() -> None:
 
     use_pallas = bool(os.environ.get("BENCH_PALLAS"))
     fused_quad = os.environ.get("BENCH_FUSEQ", "0") != "0"  # A/B gemnet_quad_chain
+    fused_trip = os.environ.get("BENCH_FUSET", "0") != "0"  # A/B triplet-chain kernels
     dtypes = os.environ.get("BENCH_DTYPES", "f32,bf16").split(",")
     # BENCH_REPS=2,2,0 measures the cell_reps:auto vacuum pruning
     reps = tuple(int(x) for x in os.environ.get("BENCH_REPS", "2,2,1").split(","))
     derive = os.environ.get("BENCH_DERIVE", "1") != "0"  # A/B derive_subgraph
     verlet = os.environ.get("BENCH_VERLET", "0") != "0"  # A/B Verlet candidate lists
-    tag = (" pallas" if use_pallas else "") + (" fuseq" if fused_quad else "") + ("" if derive else " 3-builds") + (" verlet" if verlet else "")
+    tag = (" pallas" if use_pallas else "") + (" fuseq" if fused_quad else "") + (" fuset" if fused_trip else "") + ("" if derive else " 3-builds") + (" verlet" if verlet else "")
     for b in b_list:
         batch = example_batch(b)
         for dname in dtypes:
             cd = None if dname == "f32" else "bfloat16"
             label = f"relax{tag} {dname} B={b} reps={reps}"
             model = GemNetOC(mode="s2ef", compute_dtype=cd, use_pallas=use_pallas,
-                             fused_quad=fused_quad, cell_reps=reps, derive_subgraphs=derive)
+                             fused_quad=fused_quad, fused_trip=fused_trip, cell_reps=reps, derive_subgraphs=derive)
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
             ef = make_mlff_energy_forces(model, variables)
             cf = (lambda bb: model.prepare_candidates(bb, 64)) if verlet else None

@@ -595,6 +595,36 @@ def test_gemnet_quad_chain_kernel_parity():
     assert not np.asarray(gp[1][:, :, U:]).any()  # pad rows get zero grads
 
 
+def test_gemnet_fused_trip_model_parity():
+    """GemNetOC(fused_trip=True) == the XLA formulation on a real batch
+    (same params): the e2e/a2e/e2a triplet consumers routed through
+    gemnet_quad_chain at q=1, with identical-edge / cross-table b==c
+    exclusions evaluated from the compact edge keys."""
+    from adsorbdiff_tpu.models.gemnet_oc import GemNetOC
+    from tests.test_painn import make_batch
+
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+    kw = dict(mode="s2ef", cell_reps=(1, 1, 0))
+    m0 = GemNetOC(**kw)
+    mf = GemNetOC(**kw, fused_trip=True)
+    v = m0.init(jax.random.PRNGKey(0), batch)
+    o0 = m0.apply(v, batch)
+    of = mf.apply(v, batch)
+    np.testing.assert_allclose(
+        np.asarray(of["energy"]), np.asarray(o0["energy"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(of["forces"]), np.asarray(o0["forces"]), atol=2e-5)
+
+    def eloss(m, v_):
+        return jnp.sum(m.apply(v_, batch)["energy"] ** 2)
+
+    g0 = jax.grad(lambda v_: eloss(m0, v_))(v)
+    gf = jax.grad(lambda v_: eloss(mf, v_))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4, rtol=2e-3)
+
+
 def test_gemnet_fused_quad_model_parity():
     """GemNetOC(fused_quad=True) == the XLA formulation on a real batch
     (same params): the kernel's key-based c==d exclusion, padding, and
